@@ -1,0 +1,66 @@
+package graft.analysis
+
+import java.util.regex.Pattern
+import scala.collection.mutable
+
+/** The pinned analysis chain (SURVEY.md §2.2 A1–A5): regex tokenizer →
+  * lowercase → stop filter, the reference's StandardAnalyzer
+  * ([W] whoosh/analysis/tokenizers.py default_pattern, filters.py
+  * LowercaseFilter/StopFilter; pinned by BASELINE.json:6).
+  *
+  * Semantics:
+  *  - token pattern `\w+(\.?\w+)*`, non-overlapping matches in order;
+  *  - position = ordinal of the token in the RAW tokenizer output (0-based),
+  *    NOT renumbered after stop removal (so phrases spanning a removed
+  *    stopword do not match adjacently — FIXTURES.md q12);
+  *  - lowercase before stop lookup;
+  *  - drop token if in STOP_WORDS or length < MIN_SIZE (2);
+  *  - fieldLength = number of tokens AFTER filters (what BM25 uses).
+  */
+object Analyzer extends Serializable {
+
+  val TokenPattern: Pattern = Pattern.compile("""\w+(?:\.?\w+)*""")
+
+  /** Whoosh's pinned STOP_WORDS frozenset (SURVEY.md §2.2 A3). */
+  val StopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "by", "can", "for", "from",
+    "have", "if", "in", "is", "it", "may", "not", "of", "on", "or", "tab",
+    "that", "the", "this", "to", "us", "we", "when", "will", "with", "yet",
+    "you", "your")
+
+  final val MinSize = 2
+
+  /** A surviving token with its raw-stream position. */
+  final case class Token(term: String, pos: Int)
+
+  /** Tokenize + filter. Positions are raw-stream ordinals. */
+  def tokenize(text: String): mutable.ArrayBuffer[Token] = {
+    val out = mutable.ArrayBuffer.empty[Token]
+    val m = TokenPattern.matcher(text)
+    var pos = 0
+    while (m.find()) {
+      val t = m.group().toLowerCase(java.util.Locale.ROOT)
+      if (t.length >= MinSize && !StopWords.contains(t)) out += Token(t, pos)
+      pos += 1
+    }
+    out
+  }
+
+  /** Per-doc term statistics: term -> (tf, ascending positions); plus the
+    * post-filter field length (SURVEY.md §2.2 A4/A5). */
+  final case class Analyzed(fieldLen: Int, terms: Array[(String, Array[Int])])
+
+  def analyze(text: String): Analyzed = {
+    val toks = tokenize(text)
+    val byTerm = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
+    toks.foreach { t =>
+      byTerm.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty[Int]) += t.pos
+    }
+    // deterministic order: ascending term (segment rows are term-sorted anyway)
+    val arr = byTerm.iterator
+      .map { case (term, ps) => (term, ps.toArray) }
+      .toArray
+      .sortBy(_._1)
+    Analyzed(toks.length, arr)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ref
+
+import scala.collection.mutable
+import graft.analysis.Analyzer
+import graft.codec.LengthByte
+import graft.search._
+
+/** Single-threaded, obviously-correct scalar oracle (SURVEY.md §0, §5.2).
+  *
+  * Implements the pinned semantics (analysis chain, BM25 §2.7, phrase D3,
+  * tie rule D4) by brute force: in-memory hash maps, exhaustive scoring of
+  * every document for every query, no compression, no WAND, no Spark. The
+  * distributed engine must be rank-identical and score-identical (±1e-6)
+  * to this model on the fixture corpus + query set (FIXTURES.md §3).
+  */
+final class RefModel(docs: Seq[(Long, String)]) {
+
+  // term -> docId -> (tf, positions ascending)
+  private val postings = mutable.HashMap.empty[String, mutable.HashMap[Long, Array[Int]]]
+  private val rawLen = mutable.HashMap.empty[Long, Int]
+
+  docs.foreach { case (docId, content) =>
+    val a = Analyzer.analyze(content)
+    rawLen(docId) = a.fieldLen
+    a.terms.foreach { case (term, ps) =>
+      postings.getOrElseUpdate(term, mutable.HashMap.empty)(docId) = ps
+    }
+  }
+
+  val numDocs: Long = docs.size.toLong
+  val totalLen: Long = rawLen.values.map(_.toLong).sum
+  val stats: BM25.CorpusStats = BM25.CorpusStats(numDocs, totalLen)
+
+  def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
+  def idf(term: String): Double = BM25.idf(df(term), numDocs)
+  private def fl(docId: Long): Int = LengthByte.roundtrip(rawLen(docId))
+
+  /** score of query q at doc, None if the doc doesn't match */
+  def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
+    case QEmpty => None
+    case QTerm(t) =>
+      postings.get(t).flatMap(_.get(docId)).map { ps =>
+        BM25.score(idf(t), ps.length, fl(docId), stats.avgFieldLen)
+      }
+    case QPhrase(ts) =>
+      val ptf = phraseTf(ts, docId)
+      if (ptf == 0) None
+      else {
+        val sumIdf = ts.map { case (t, _) => idf(t) }.sum
+        Some(BM25.score(sumIdf, ptf, fl(docId), stats.avgFieldLen))
+      }
+    case QAnd(cs) =>
+      val scores = cs.map(c => scoreDoc(c, docId))
+      if (scores.forall(_.isDefined)) Some(scores.map(_.get).sum) else None
+    case QOr(cs) =>
+      val scores = cs.flatMap(c => scoreDoc(c, docId))
+      if (scores.isEmpty) None else Some(scores.sum)
+    case QNot(p, n) =>
+      if (scoreDoc(n, docId).isDefined) None else scoreDoc(p, docId)
+  }
+
+  /** number of occurrences of the position pattern ts in docId */
+  private def phraseTf(ts: List[(String, Int)], docId: Long): Int = {
+    val posLists = ts.map { case (t, off) =>
+      postings.get(t).flatMap(_.get(docId)) match {
+        case Some(ps) => (ps, off)
+        case None     => return 0
+      }
+    }
+    val (base, off0) = posLists.head
+    base.count { p0 =>
+      val start = p0 - off0
+      posLists.tail.forall { case (ps, off) => ps.contains(start + off) }
+    }
+  }
+
+  /** exhaustive top-k, tie rule (score desc, docId asc) — D4 */
+  def search(q: Q, k: Int): Seq[(Long, Double)] =
+    docs.iterator
+      .flatMap { case (d, _) => scoreDoc(q, d).map(s => (d, s)) }
+      .toSeq
+      .sortBy { case (d, s) => (-s, d) }
+      .take(k)
+
+  def search(query: String, k: Int): Seq[(Long, Double)] =
+    search(QueryParser.parse(query), k)
+}

@@ -1,0 +1,235 @@
+package graft.search
+
+import graft.codec.{LengthByte, PostingsCodec}
+import PostingsCodec.TermCursor
+
+/** Document-at-a-time matcher tree over one segment's posting lists
+  * (SURVEY.md §2.6 Q2–Q6). The reference's analog is Whoosh's matcher tree
+  * ([W] whoosh/matching): LeafMatcher / IntersectionMatcher /
+  * UnionMatcher / phrase wrappers, with block-quality skipping.
+  *
+  * Contract: `docId` is the current matched doc (Long.MaxValue when
+  * exhausted); `score` is only valid at a matched doc; `advance()` moves
+  * past the current doc; `skipTo(t)` moves to the first matched doc >= t.
+  * `maxScore` is a static upper bound over the whole list (WAND pivot math);
+  * `currentUpperBound` is a bound valid for the current doc (block-max for
+  * leaves — tighter than maxScore).
+  */
+sealed trait Matcher {
+  def docId: Long
+  def advance(): Unit
+  def skipTo(target: Long): Unit
+  def score: Double
+  def maxScore: Double
+  def currentUpperBound: Double
+}
+
+object EmptyMatcher extends Matcher {
+  def docId: Long = Long.MaxValue
+  def advance(): Unit = ()
+  def skipTo(target: Long): Unit = ()
+  def score: Double = 0.0
+  def maxScore: Double = 0.0
+  def currentUpperBound: Double = 0.0
+}
+
+/** Leaf over one term's encoded posting list. */
+final class TermMatcher(bytes: Array[Byte], idf: Double, rowMaxTf: Int,
+                        avgfl: Double) extends Matcher {
+  private val cur = new TermCursor(bytes)
+  val maxScore: Double = BM25.upperBound(idf, rowMaxTf)
+  def docId: Long = cur.docId
+  def advance(): Unit = cur.next()
+  def skipTo(target: Long): Unit = cur.skipTo(target)
+  def score: Double =
+    BM25.score(idf, cur.tf, LengthByte.decode(cur.lenByte), avgfl)
+  def currentUpperBound: Double =
+    if (cur.docId == Long.MaxValue) 0.0 else BM25.upperBound(idf, cur.blockMaxTf)
+  /** skip the rest of the current block (single-term block-max pruning) */
+  def skipCurrentBlock(): Unit =
+    if (cur.docId != Long.MaxValue) cur.skipTo(cur.blockLastDocId + 1)
+}
+
+/** Intersection: doc matches iff all children match; score = sum of child
+  * scores in tree order (FP-order pinned to match RefModel). */
+final class AndMatcher(children: Array[Matcher]) extends Matcher {
+  val maxScore: Double = children.map(_.maxScore).sum
+  private var cur: Long = Long.MaxValue
+
+  private def align(): Unit = {
+    if (children.isEmpty) return
+    var target = children(0).docId
+    var aligned = false
+    while (!aligned && target != Long.MaxValue) {
+      aligned = true
+      var i = 0
+      while (i < children.length) {
+        val c = children(i)
+        if (c.docId < target) c.skipTo(target)
+        if (c.docId > target) { target = c.docId; aligned = false }
+        if (c.docId == Long.MaxValue) { target = Long.MaxValue; aligned = false }
+        i += 1
+      }
+    }
+    cur = target
+  }
+  align()
+
+  def docId: Long = cur
+  def advance(): Unit = {
+    if (cur == Long.MaxValue) return
+    children(0).skipTo(cur + 1)
+    align()
+  }
+  def skipTo(target: Long): Unit = {
+    if (cur >= target) return
+    children(0).skipTo(target)
+    align()
+  }
+  def score: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < children.length) { s += children(i).score; i += 1 }
+    s
+  }
+  def currentUpperBound: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < children.length) { s += children(i).currentUpperBound; i += 1 }
+    s
+  }
+}
+
+/** Union: doc matches iff any child matches; score = sum over the children
+  * matching the current doc, in tree order. */
+final class OrMatcher(children: Array[Matcher]) extends Matcher {
+  val maxScore: Double = children.map(_.maxScore).sum
+  def docId: Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < m) m = children(i).docId
+      i += 1
+    }
+    m
+  }
+  def advance(): Unit = {
+    val d = docId
+    if (d == Long.MaxValue) return
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) children(i).advance()
+      i += 1
+    }
+  }
+  def skipTo(target: Long): Unit = {
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < target) children(i).skipTo(target)
+      i += 1
+    }
+  }
+  def score: Double = {
+    val d = docId
+    var s = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) s += children(i).score
+      i += 1
+    }
+    s
+  }
+  def currentUpperBound: Double = {
+    val d = docId
+    var s = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) s += children(i).currentUpperBound
+      else s += children(i).maxScore // conservative: may still match later docs
+      i += 1
+    }
+    s
+  }
+}
+
+/** a NOT b: positive matches with the negative's docs removed (Q6);
+  * score = positive's score. */
+final class NotMatcher(pos: Matcher, neg: Matcher) extends Matcher {
+  val maxScore: Double = pos.maxScore
+  seek()
+  private def seek(): Unit = {
+    var ok = false
+    while (!ok && pos.docId != Long.MaxValue) {
+      if (neg.docId < pos.docId) neg.skipTo(pos.docId)
+      if (neg.docId == pos.docId) pos.advance() else ok = true
+    }
+  }
+  def docId: Long = pos.docId
+  def advance(): Unit = { pos.advance(); seek() }
+  def skipTo(target: Long): Unit = { pos.skipTo(target); seek() }
+  def score: Double = pos.score
+  def currentUpperBound: Double = pos.currentUpperBound
+}
+
+/** Positional phrase (Q5, decision D3): terms must occur at their
+  * query-side raw-position offsets; tf = number of matching start
+  * positions; idf = sum of constituent idfs. */
+final class PhraseMatcher(terms: Array[(TermCursor, Int)], sumIdf: Double,
+                          maxTfBound: Int, avgfl: Double) extends Matcher {
+  val maxScore: Double = BM25.upperBound(sumIdf, maxTfBound)
+  private var cur = Long.MaxValue
+  private var curTf = 0
+  seek(0L)
+
+  private def phraseTfAt(): Int = {
+    val (c0, off0) = terms(0)
+    val base = c0.positions
+    var count = 0
+    var i = 0
+    while (i < base.length) {
+      val start = base(i) - off0
+      var all = start >= 0
+      var j = 1
+      while (all && j < terms.length) {
+        val (cj, offj) = terms(j)
+        all = java.util.Arrays.binarySearch(cj.positions, start + offj) >= 0
+        j += 1
+      }
+      if (all) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private def seek(from: Long): Unit = {
+    // leapfrog docId alignment, then positional check; repeat until tf>0
+    var target = math.max(from, terms(0)._1.docId)
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < terms.length && target != Long.MaxValue) {
+        val c = terms(i)._1
+        if (c.docId < target) c.skipTo(target)
+        if (c.docId > target) { target = c.docId; aligned = false; i = terms.length }
+        else if (c.docId == Long.MaxValue) { target = Long.MaxValue }
+        else i += 1
+      }
+      if (target == Long.MaxValue) { cur = Long.MaxValue; done = true }
+      else if (aligned) {
+        val tf = phraseTfAt()
+        if (tf > 0) { cur = target; curTf = tf; done = true }
+        else target += 1
+      }
+    }
+  }
+
+  def docId: Long = cur
+  def advance(): Unit = if (cur != Long.MaxValue) seek(cur + 1)
+  def skipTo(target: Long): Unit = if (cur < target) seek(target)
+  def score: Double = {
+    val fl = LengthByte.decode(terms(0)._1.lenByte)
+    BM25.score(sumIdf, curTf, fl, avgfl)
+  }
+  def currentUpperBound: Double = maxScore
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.Analyzer
+import graft.search._
+
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("regex tokenize + lowercase + stop filter, raw positions preserved") {
+    val toks = Analyzer.tokenize("A search engine is an information retrieval system")
+    // raw stream: a(0) search(1) engine(2) is(3) an(4) information(5) retrieval(6) system(7)
+    assert(toks.map(t => (t.term, t.pos)).toList == List(
+      ("search", 1), ("engine", 2), ("information", 5), ("retrieval", 6), ("system", 7)))
+  }
+
+  test("min-size filter drops single-char tokens") {
+    val toks = Analyzer.tokenize("x yz q w2")
+    assert(toks.map(_.term).toList == List("yz", "w2"))
+  }
+
+  test("dotted compound stays one token (whoosh default pattern)") {
+    val toks = Analyzer.tokenize("calls foo.bar.baz method")
+    assert(toks.map(_.term).toList == List("calls", "foo.bar.baz", "method"))
+  }
+
+  test("analyze: tf, sorted positions, post-filter field length") {
+    val a = Analyzer.analyze("the cat and the cat sat on a cat")
+    // raw: the(0) cat(1) and(2) the(3) cat(4) sat(5) on(6) a(7) cat(8)
+    assert(a.fieldLen == 4) // cat x3 + sat
+    val m = a.terms.toMap
+    assert(m("cat").toList == List(1, 4, 8))
+    assert(m("sat").toList == List(5))
+    assert(a.terms.map(_._1).toList == List("cat", "sat")) // term-sorted
+  }
+
+  test("pinned stop words") {
+    assert(Analyzer.StopWords.size == 34)
+    assert(Analyzer.StopWords("the") && Analyzer.StopWords("tab") && Analyzer.StopWords("yet"))
+    assert(!Analyzer.StopWords("search"))
+  }
+
+  test("parser: fixture query shapes") {
+    assert(QueryParser.parse("search") == QTerm("search"))
+    assert(QueryParser.parse("the search") == QTerm("search")) // q04 == q01
+    assert(QueryParser.parse("search engine") == QAnd(List(QTerm("search"), QTerm("engine"))))
+    assert(QueryParser.parse("term AND frequency") == QAnd(List(QTerm("term"), QTerm("frequency"))))
+    assert(QueryParser.parse("search OR banana") == QOr(List(QTerm("search"), QTerm("banana"))))
+    assert(QueryParser.parse("postings OR engine OR ranking") ==
+      QOr(List(QTerm("postings"), QTerm("engine"), QTerm("ranking"))))
+    assert(QueryParser.parse("\"search engine\"") ==
+      QPhrase(List(("search", 0), ("engine", 1))))
+    // q12: stopword gap preserved, offsets rebased to first surviving term
+    assert(QueryParser.parse("\"engine is information\"") ==
+      QPhrase(List(("engine", 0), ("information", 2))))
+    assert(QueryParser.parse("score AND \"term frequency\"") ==
+      QAnd(List(QTerm("score"), QPhrase(List(("term", 0), ("frequency", 1))))))
+    assert(QueryParser.parse("search NOT engine") == QNot(QTerm("search"), QTerm("engine")))
+    assert(QueryParser.parse("(search OR engine) AND fast") ==
+      QAnd(List(QOr(List(QTerm("search"), QTerm("engine"))), QTerm("fast"))))
+    assert(QueryParser.parse("the a of") == QEmpty)
+    assert(QueryParser.parse("") == QEmpty)
+    // phrase whose leading token is a stopword: rebase to first survivor
+    assert(QueryParser.parse("\"the search results\"") ==
+      QPhrase(List(("search", 0), ("results", 1))))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.codec.PostingsCodec
+import graft.analysis.Analyzer
+import graft.codec.LengthByte
+import graft.search.{BM25, Kernel}
+
+/** FIXTURES.md §2 micro corpus + §3 reference query set. */
+object TestFixtures {
+
+  val fixture5: Seq[(Long, String)] = Seq(
+    0L -> "A search engine is an information retrieval system designed to help find information stored on a computer system",
+    1L -> "The search results are usually presented in a list and are commonly called hits ranked by a scoring function",
+    2L -> "def score the okapi bm25 ranking function uses term frequency and inverse document frequency to rank matching documents",
+    3L -> "posting lists store document identifiers term frequency and positions compressed with delta encoding and varint coding for fast search",
+    4L -> "search engines build an inverted index mapping each term to the documents containing it enabling fast full text search over large corpora"
+  )
+
+  val querySet: Seq[(String, String)] = Seq(
+    "q01" -> "search",
+    "q02" -> "frequency",
+    "q03" -> "banana",
+    "q04" -> "the search",
+    "q05" -> "search engine",
+    "q06" -> "term AND frequency",
+    "q07" -> "search OR banana",
+    "q08" -> "postings OR engine OR ranking",
+    "q09" -> "\"search engine\"",
+    "q10" -> "\"information retrieval\"",
+    "q11" -> "\"search results\"",
+    "q12" -> "\"engine is information\"",
+    "q13" -> "score AND \"term frequency\""
+  )
+
+  /** Build an in-memory single-segment index: term -> TermList, via the
+    * REAL codec (encode path shared with the distributed builder). */
+  def memSegment(docs: Seq[(Long, String)]): (Map[String, Kernel.TermList], BM25.CorpusStats) = {
+    val sorted = docs.sortBy(_._1)
+    var totalLen = 0L
+    val byTerm = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[PostingsCodec.Pst]]
+    sorted.foreach { case (docId, content) =>
+      val a = Analyzer.analyze(content)
+      totalLen += a.fieldLen
+      val lb = LengthByte.encode(a.fieldLen)
+      a.terms.foreach { case (term, ps) =>
+        byTerm.getOrElseUpdate(term,
+          scala.collection.mutable.ArrayBuffer.empty) +=
+          PostingsCodec.Pst(docId, ps.length, lb, ps)
+      }
+    }
+    val lists = byTerm.map { case (term, psts) =>
+      val enc = PostingsCodec.encode(psts.iterator)
+      term -> Kernel.TermList(enc.bytes, enc.maxTf, enc.df.toLong)
+    }.toMap
+    (lists, BM25.CorpusStats(sorted.size.toLong, totalLen))
+  }
+
+  /** deterministic synthetic corpus (FIXTURES.md §4, simplified scale knob):
+    * Zipf-ish draws from a w0000..w9999 vocabulary via a splittable
+    * counter-based PRNG, with "needle alpha beta" injected every 1000th doc. */
+  def synthDoc(seed: Long, i: Long): String = {
+    val len = 50 + (java.lang.Long.remainderUnsigned(hash64(seed, i, -1L), 400L)).toInt
+    val sb = new StringBuilder(len * 6)
+    var j = 0
+    while (j < len) {
+      if (j > 0) sb.append(' ')
+      sb.append(synthWord(hash64(seed, i, j.toLong)))
+      j += 1
+    }
+    if (i % 1000L == 0L) sb.append(" needle alpha beta")
+    sb.toString
+  }
+
+  /** Zipf(s~1.07)-flavoured rank draw over 10k words, integer-only. */
+  private def synthWord(h: Long): String = {
+    val u = java.lang.Long.remainderUnsigned(h, 1L << 40).toDouble / (1L << 40).toDouble
+    val rank = math.min(9999, (math.pow(10000.0, u) - 1.0).toInt)
+    f"w$rank%04d"
+  }
+
+  def hash64(seed: Long, a: Long, b: Long): Long = {
+    var h = seed * 0x9e3779b97f4a7c15L + a * 0xc2b2ae3d27d4eb4fL + b * 0x165667b19e3779f9L
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+}
