@@ -1,0 +1,331 @@
+package graft.build
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.analysis.Analyzer
+import graft.codec.{LengthByte, PostingsCodec}
+import graft.model._
+
+/** Distributed inverted-index build (SURVEY.md §3.1, §7.1 steps 4-5).
+  *
+  * Pipeline (one Catalyst plan per batch):
+  *   corpus -> deterministic docId stamp (D1) -> analyze once per doc ->
+  *   explode to postings -> SALTED two-phase groupBy-(segment,term)
+  *   aggregation (G1/G2) -> block-encoded posting lists (C1-C3) ->
+  *   term-sorted parquet segments + per-segment manifests (S3/S5).
+  *
+  * Scale design (10^12 files, BASELINE.json:14):
+  *  - segments are docId ranges (doc-partitioned index): every segment is a
+  *    complete mini-index, so queries are partition-local and fan out
+  *    without a global norms/postings shuffle;
+  *  - skew: EVERY (segId, term) aggregation runs two-phase with a docId
+  *    salt, so a term occurring in all docs of a segment produces at most
+  *    segSize/salts postings in any single phase-1 group; phase 2 merges
+  *    <=salts compressed runs streamingly (SURVEY.md G2);
+  *  - resume: a segment with a committed manifest is never rebuilt; batches
+  *    promote staging -> final atomically (rename) before the manifest is
+  *    written, so a crash leaves either nothing or a committed segment;
+  *  - shuffles: exactly two wide exchanges per batch (phase-1 salt groupBy
+  *    of raw postings, phase-2 merge of compressed runs) plus the one-off
+  *    docId-stamp range sort. Phase 2 moves ~compressed-segment bytes only.
+  */
+object IndexBuilder {
+
+  final case class IndexConfig(
+      segSize: Int = 1 << 16,
+      salts: Int = 16,
+      /** segments per build job = checkpoint granularity */
+      segmentsPerBatch: Int = 256,
+      /** partitions for the docId-stamp range sort; 0 = spark default */
+      sortPartitions: Int = 0,
+      source: String = "corpus")
+
+  final case class BuildReport(stats: IndexStats, builtSegments: Seq[Int],
+                               skippedSegments: Seq[Int])
+
+  // ---- layout ----
+  def docsDir(ix: String) = s"$ix/docs"
+  def segmentsDir(ix: String) = s"$ix/segments"
+  def docstatsDir(ix: String) = s"$ix/docstats"
+  def lexiconDir(ix: String) = s"$ix/lexicon"
+  def manifestsDir(ix: String) = s"$ix/manifests"
+  def statsPath(ix: String) = s"$ix/stats.json"
+  def stagingDir(ix: String) = s"$ix/staging"
+
+  /** Deterministic dense docIds (decision D1): global rank in
+    * (repo, path, commit) order. Range-partitioned sort keeps it scalable;
+    * zipWithIndex assigns per-partition offsets via one lightweight count
+    * job (the single, documented RDD drop-down — Dataset has no
+    * order-preserving index primitive). The assignment is independent of
+    * partition count: boundaries move, global order doesn't. */
+  def stampDocIds(corpus: Dataset[CorpusRow], partitions: Int = 0): Dataset[Doc] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sessionState.conf.numShufflePartitions
+    val sorted = corpus
+      .repartitionByRange(p, $"repo", $"path", $"commit")
+      .sortWithinPartitions("repo", "path", "commit")
+    val stamped = sorted.rdd.zipWithIndex().map { case (c, i) =>
+      Doc(i, c.repo, c.path, c.commit, c.lang, c.content, sha256Hex(c.content))
+    }
+    spark.createDataset(stamped)
+  }
+
+  def sha256Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  /** Full build with resume: segments whose manifest exists are skipped. */
+  def build(spark: SparkSession, corpus: Dataset[CorpusRow], indexDir: String,
+            cfg: IndexConfig = IndexConfig()): BuildReport = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+
+    // 1. stamped docs (written once; reused verbatim on resume)
+    val docsPath = docsDir(indexDir)
+    if (!fs.exists(new Path(docsPath, "_SUCCESS"))) {
+      stampDocIds(corpus, cfg.sortPartitions)
+        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath).as[Doc]
+    val numDocs = docs.count()
+    val numSegments = math.max(1, ((numDocs + cfg.segSize - 1) / cfg.segSize).toInt)
+
+    // 2. resume: committed manifests
+    val done = readManifests(fs, indexDir).map(_.segId).toSet
+    val todo = (0 until numSegments).filterNot(done)
+    val segSize = cfg.segSize
+
+    todo.grouped(cfg.segmentsPerBatch).foreach { batch =>
+      buildBatch(spark, fs, docs, indexDir, batch, cfg)
+    }
+
+    // 3. index-level stats + lexicon (cheap relative to the build; redone at
+    // the end of every (re)run so a resumed build finishes identically)
+    val manifests = readManifests(fs, indexDir)
+    val stats = IndexStats(
+      numDocs = manifests.map(_.docCount).sum,
+      totalFieldLen = manifests.map(_.rawLenSum).sum,
+      numSegments = numSegments,
+      segSize = segSize)
+    writeLexicon(spark, indexDir)
+    writeStats(fs, indexDir, stats)
+    BuildReport(stats, todo, done.toSeq.sorted)
+  }
+
+  private def buildBatch(spark: SparkSession, fs: FileSystem, docs: Dataset[Doc],
+                         indexDir: String, batch: Seq[Int], cfg: IndexConfig): Unit = {
+    import spark.implicits._
+    val segSize = cfg.segSize
+    val salts = cfg.salts
+    val staging = stagingDir(indexDir)
+    fs.delete(new Path(staging), true)
+
+    // contiguous segId runs -> docId range predicate (parquet row-group pruning
+    // on the docId-sorted docs files)
+    val ranges = contiguousRuns(batch).map { case (lo, hi) =>
+      (lo.toLong * segSize, (hi.toLong + 1L) * segSize)
+    }
+    val pred = ranges.map { case (lo, hi) => $"docId" >= lo && $"docId" < hi }
+      .reduce(_ || _)
+
+    // analyze ONCE per doc; both consumers read the persisted result
+    val analyzed = docs.filter(pred).map { d =>
+      val a = Analyzer.analyze(d.content)
+      AnalyzedDoc(
+        segId = (d.docId / segSize).toInt, docId = d.docId,
+        repo = d.repo, path = d.path, commit = d.commit, lang = d.lang,
+        sha = d.sha, rawLen = a.fieldLen, lenByte = LengthByte.encode(a.fieldLen),
+        terms = a.terms.map { case (t, ps) => TermPositions(t, ps) })
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      // docstats sidecar (stored-field keys + sha invariant + lengths)
+      analyzed
+        .map(a => DocStat(a.segId, a.docId, a.repo, a.path, a.commit, a.lang,
+          a.sha, a.rawLen, a.lenByte))
+        .write.mode(SaveMode.Overwrite).partitionBy("segId")
+        .parquet(s"$staging/docstats")
+
+      // explode -> salted two-phase aggregation -> encoded rows
+      val postings = analyzed.flatMap { a =>
+        a.terms.iterator.map(tp =>
+          Posting(a.segId, tp.term, a.docId, tp.positions.length, a.lenByte, tp.positions))
+      }
+      val runs = postings
+        .groupByKey(p => (p.segId, p.term, (p.docId % salts).toInt))
+        .mapGroups { (key: (Int, String, Int), it: Iterator[Posting]) =>
+          val buf = it.map(p =>
+            PostingsCodec.Pst(p.docId, p.tf, p.lenByte, p.positions)).toArray
+          java.util.Arrays.sort(buf, Ordering.by((p: PostingsCodec.Pst) => p.docId))
+          val enc = PostingsCodec.encode(buf.iterator)
+          Run(key._1, key._2, key._3, enc.df, enc.maxTf, enc.bytes)
+        }
+      val rows = runs
+        .groupByKey(r => (r.segId, r.term))
+        .mapGroups { (key: (Int, String), it: Iterator[Run]) =>
+          val rs = it.toArray
+          val enc =
+            if (rs.length == 1) PostingsCodec.Encoded(rs(0).df, rs(0).maxTf, rs(0).blocks)
+            else PostingsCodec.merge(rs.map(_.blocks).toSeq)
+          SegRow(key._1, key._2, enc.df, enc.maxTf, enc.bytes)
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      try {
+        // term-sorted, one file per segment (parquet min/max stats on `term`
+        // make query-term pushdown sharp — SURVEY.md §4.2)
+        rows.repartition(batch.size, $"segId")
+          .sortWithinPartitions("segId", "term")
+          .write.mode(SaveMode.Overwrite).partitionBy("segId")
+          .parquet(s"$staging/segments")
+
+        // per-segment metrics for the manifest (order-independent digest:
+        // XOR of per-row sha256 prefixes — no segment-wide sort needed)
+        val segAgg = rows.groupByKey(_.segId).mapGroups { (segId, it) =>
+          val dig = new Array[Byte](16)
+          var n = 0L
+          var bytes = 0L
+          it.foreach { r =>
+            val md = java.security.MessageDigest.getInstance("SHA-256")
+            md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            md.update(0.toByte)
+            md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
+            md.update(r.blocks)
+            val h = md.digest()
+            var i = 0
+            while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
+            n += 1
+            bytes += r.blocks.length.toLong
+          }
+          (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
+        }.collect().map(t => t._1 -> t).toMap
+
+        val docAgg = spark.read.parquet(s"$staging/docstats")
+          .groupBy($"segId")
+          .agg(count(lit(1)).as("docCount"), min($"docId").as("lo"),
+            max($"docId").as("hi"), sum($"rawLen").as("rawLenSum"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+
+        // promote staging -> final, then commit the manifest (the commit point)
+        batch.foreach { segId =>
+          val (rowsN, bytesN, digest) = segAgg.get(segId)
+            .map(t => (t._2, t._3, t._4)).getOrElse((0L, 0L, "0" * 32))
+          val (docCount, lo, hi, rawLenSum) = docAgg.getOrElse(segId,
+            (0L, segId.toLong * segSize, segId.toLong * segSize, 0L))
+          promoteDir(fs, s"$staging/segments/segId=$segId", s"${segmentsDir(indexDir)}/segId=$segId")
+          promoteDir(fs, s"$staging/docstats/segId=$segId", s"${docstatsDir(indexDir)}/segId=$segId")
+          val m = SegmentManifest(segId, lo, hi, docCount, rawLenSum, rowsN,
+            bytesN, digest, cfg.source)
+          writeManifest(fs, indexDir, m)
+        }
+        fs.delete(new Path(staging), true)
+      } finally rows.unpersist()
+    } finally analyzed.unpersist()
+  }
+
+  /** global lexicon: term -> corpus-wide df, range-partitioned + sorted so
+    * query-term lookups prune to one file / few row groups */
+  def writeLexicon(spark: SparkSession, indexDir: String): Unit = {
+    import spark.implicits._
+    val seg = spark.read.parquet(segmentsDir(indexDir))
+    val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    seg.groupBy($"term").agg(sum($"df").cast("long").as("df"))
+      .repartitionByRange(lexPartitions, $"term")
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
+  }
+
+  // ---- manifests / stats ----
+
+  def writeManifest(fs: FileSystem, indexDir: String, m: SegmentManifest): Unit = {
+    val dir = new Path(manifestsDir(indexDir))
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val json =
+      s"""{"segId":${m.segId},"docLo":${m.docLo},"docHi":${m.docHi},"docCount":${m.docCount},
+         |"rawLenSum":${m.rawLenSum},"postingRows":${m.postingRows},"postingBytes":${m.postingBytes},
+         |"digest":"${m.digest}","source":"${m.source}"}""".stripMargin.replace("\n", "")
+    val tmp = new Path(dir, s".seg-${m.segId}.json.tmp")
+    val dst = new Path(dir, s"seg-${m.segId}.json")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  def readManifests(fs: FileSystem, indexDir: String): Seq[SegmentManifest] = {
+    val dir = new Path(manifestsDir(indexDir))
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("seg-") && s.getPath.getName.endsWith(".json"))
+      .map { s =>
+        val in = fs.open(s.getPath)
+        val txt = scala.io.Source.fromInputStream(in).mkString
+        in.close()
+        parseManifest(txt)
+      }
+      .sortBy(_.segId)
+  }
+
+  private def parseManifest(json: String): SegmentManifest = {
+    def l(k: String): Long = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    def s(k: String): String = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json).get.group(1)
+    SegmentManifest(l("segId").toInt, l("docLo"), l("docHi"), l("docCount"),
+      l("rawLenSum"), l("postingRows"), l("postingBytes"), s("digest"), s("source"))
+  }
+
+  def writeStats(fs: FileSystem, indexDir: String, st: IndexStats): Unit = {
+    val json = s"""{"numDocs":${st.numDocs},"totalFieldLen":${st.totalFieldLen},""" +
+      s""""numSegments":${st.numSegments},"segSize":${st.segSize}}"""
+    val tmp = new Path(indexDir, ".stats.json.tmp")
+    val dst = new Path(statsPath(indexDir))
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+  }
+
+  def readStats(fs: FileSystem, indexDir: String): IndexStats = {
+    val in = fs.open(new Path(statsPath(indexDir)))
+    val json = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    def l(k: String): Long = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    IndexStats(l("numDocs"), l("totalFieldLen"), l("numSegments").toInt, l("segSize").toInt)
+  }
+
+  private def promoteDir(fs: FileSystem, from: String, to: String): Unit = {
+    val src = new Path(from)
+    val dst = new Path(to)
+    if (!fs.exists(src)) {
+      fs.mkdirs(dst) // empty segment (no docs in range): still committed
+      return
+    }
+    val parent = dst.getParent
+    if (!fs.exists(parent)) fs.mkdirs(parent)
+    fs.delete(dst, true)
+    require(fs.rename(src, dst), s"promote failed: $from -> $to")
+  }
+
+  private def contiguousRuns(ids: Seq[Int]): Seq[(Int, Int)] = {
+    if (ids.isEmpty) return Seq.empty
+    val sorted = ids.sorted
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var lo = sorted.head
+    var hi = sorted.head
+    sorted.tail.foreach { id =>
+      if (id == hi + 1) hi = id
+      else { runs += ((lo, hi)); lo = id; hi = id }
+    }
+    runs += ((lo, hi))
+    runs.toSeq
+  }
+}

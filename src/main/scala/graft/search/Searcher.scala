@@ -1,0 +1,101 @@
+package graft.search
+
+import org.apache.hadoop.fs.FileSystem
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.IndexBuilder
+import graft.model.{LexRow, SegRead}
+
+/** Distributed BM25 top-k search over the segmented index (SURVEY.md §3.2).
+  *
+  * Query path — deliberately shuffle-light (the p95 lever):
+  *  1. driver: parse + analyze the query (Q1), read corpus stats;
+  *  2. one pruned scan of the lexicon for the <=|terms| global dfs
+  *     (term-sorted parquet -> pushed `term IN (...)` prunes row groups);
+  *  3. one pruned scan of the segments for the query terms' posting rows
+  *     (same pushdown; `content` never read — column pruning);
+  *  4. per-segment mapGroups kernel (block-max WAND) -> k rows per segment;
+  *  5. driver/TakeOrdered merge of numSegments x k tiny rows, tie rule D4.
+  *
+  * The only exchange moves <= numSegments * |terms| compressed posting rows
+  * — no corpus-wide shuffle ever happens at query time.
+  */
+object Searcher {
+
+  final case class SearchHit(docId: Long, score: Double)
+
+  /** parsed once per index open */
+  final case class IndexHandle(indexDir: String, stats: BM25.CorpusStats)
+
+  def open(spark: SparkSession, indexDir: String): IndexHandle = {
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val st = IndexBuilder.readStats(fs, indexDir)
+    IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen))
+  }
+
+  /** global df for the query's terms: one pruned lexicon scan */
+  def termDfs(spark: SparkSession, handle: IndexHandle, terms: Set[String]): Map[String, Long] = {
+    import spark.implicits._
+    if (terms.isEmpty) return Map.empty
+    spark.read.parquet(IndexBuilder.lexiconDir(handle.indexDir))
+      .filter($"term".isin(terms.toSeq: _*))
+      .as[LexRow]
+      .collect()
+      .map(l => l.term -> l.df)
+      .toMap
+  }
+
+  /** top-k hits as a Dataset (k rows), rank-identical to RefModel. */
+  def search(spark: SparkSession, handle: IndexHandle, query: String, k: Int = 10,
+             prune: Boolean = true): Dataset[SearchHit] = {
+    import spark.implicits._
+    val q = QueryParser.parse(query)
+    searchQ(spark, handle, q, k, prune)
+  }
+
+  def searchQ(spark: SparkSession, handle: IndexHandle, q: Q, k: Int,
+              prune: Boolean = true): Dataset[SearchHit] = {
+    import spark.implicits._
+    val terms = q.terms
+    if (q == QEmpty || terms.isEmpty)
+      return spark.emptyDataset[SearchHit]
+
+    val dfs = termDfs(spark, handle, terms)
+    val stats = handle.stats
+    val kLocal = k
+    val pruneLocal = prune
+    val qLocal = q
+
+    val rows = spark.read.parquet(IndexBuilder.segmentsDir(handle.indexDir))
+      .filter($"term".isin(terms.toSeq: _*))
+      .select($"term", $"df", $"maxTf", $"blocks", $"segId")
+      .as[SegRead]
+
+    val perSegment = rows
+      .groupByKey(_.segId)
+      .flatMapGroups { (_, it) =>
+        val lists = it.map { r =>
+          r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
+        }.toMap
+        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal)
+          .iterator.map(h => SearchHit(h.docId, h.score))
+      }
+
+    // global top-k: Catalyst plans TakeOrderedAndProject over the tiny
+    // per-segment candidate set
+    perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** hits + stored fields (Q8): broadcast semi-join of the <=k ids against
+    * the docstats sidecar (never the content-bearing corpus scan) */
+  def searchWithFields(spark: SparkSession, handle: IndexHandle, query: String,
+                       k: Int = 10): DataFrame = {
+    val hits = search(spark, handle, query, k).toDF()
+    val docstats = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .select("docId", "repo", "path", "commit", "lang", "sha")
+    docstats.join(broadcast(hits), Seq("docId"), "inner")
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+}

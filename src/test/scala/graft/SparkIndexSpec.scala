@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.corpus.CorpusSource
+import graft.merge.Merger
+import graft.model.CorpusRow
+import graft.ref.RefModel
+import graft.search.{QueryParser, Searcher}
+
+/** End-to-end distributed build + search vs the oracle (SURVEY.md §5.2
+  * items 1,3,4,5), resume, determinism across parallelism, merge. */
+class SparkIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  /** fixture5 as corpus rows; docIds are re-derived by the D1 rule
+    * (rank in (repo,path,commit) order), which differs from the display
+    * order in FIXTURES.md §2 (README.md sorts before src/). */
+  private val fixtureRows: Seq[CorpusRow] = {
+    val metas = Seq(
+      ("r0/engine", "docs/intro.txt", "0" * 39 + "1", "text"),
+      ("r0/engine", "docs/rank.txt", "0" * 39 + "2", "text"),
+      ("r0/engine", "src/bm25.scala", "0" * 39 + "3", "scala"),
+      ("r1/index", "src/postings.scala", "0" * 39 + "4", "scala"),
+      ("r1/index", "README.md", "0" * 39 + "5", "text"))
+    metas.zip(TestFixtures.fixture5).map { case ((r, p, c, l), (_, content)) =>
+      CorpusRow(r, p, c, l, content)
+    }
+  }
+
+  private def refDocs(rows: Seq[CorpusRow]): Seq[(Long, String)] =
+    rows.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.content) }
+
+  private def fsOf(dir: String): FileSystem =
+    FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+
+  private def assertSearchesMatchOracle(indexDir: String, docs: Seq[(Long, String)],
+                                        queries: Seq[(String, String)]): Unit = {
+    val ref = new RefModel(docs)
+    val handle = Searcher.open(spark, indexDir)
+    queries.foreach { case (qid, qs) =>
+      val hits = Searcher.search(spark, handle, qs, 10).collect().toSeq
+      val oracle = ref.search(qs, 10)
+      assert(hits.map(_.docId) == oracle.map(_._1),
+        s"[$qid '$qs'] engine=${hits.toList} oracle=$oracle")
+      hits.zip(oracle).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-6, s"[$qid] score ${h.score} vs $s")
+      }
+    }
+  }
+
+  test("fixture corpus: build (multi-segment, salted, batched) + search == oracle") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("fix")
+    val corpus = spark.createDataset(fixtureRows)
+    val report = IndexBuilder.build(spark, corpus, dir,
+      IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 2))
+    assert(report.stats.numDocs == 5)
+    assert(report.stats.numSegments == 3)
+    assert(report.builtSegments == Seq(0, 1, 2))
+
+    assertSearchesMatchOracle(dir, refDocs(fixtureRows), TestFixtures.querySet)
+
+    // per-row sha256(content) invariant survives source -> docstats
+    val stats = spark.read.parquet(IndexBuilder.docstatsDir(dir))
+      .select("docId", "sha").as[(Long, String)].collect().toMap
+    refDocs(fixtureRows).foreach { case (id, content) =>
+      assert(stats(id) == IndexBuilder.sha256Hex(content))
+    }
+
+    // resume: nothing to rebuild, stats identical
+    val report2 = IndexBuilder.build(spark, corpus, dir,
+      IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 2))
+    assert(report2.builtSegments.isEmpty)
+    assert(report2.skippedSegments == Seq(0, 1, 2))
+    assert(report2.stats == report.stats)
+  }
+
+  test("resume rebuilds exactly the missing segment, byte-identical digests") {
+    import spark.implicits._
+    val dirA = SparkTestBase.tmpDir("resA")
+    val corpus = spark.createDataset(fixtureRows)
+    val cfg = IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 1)
+    IndexBuilder.build(spark, corpus, dirA, cfg)
+    val fullManifests = IndexBuilder.readManifests(fsOf(dirA), dirA)
+
+    // simulate a crash that lost segment 1 after commit of 0 and 2
+    val fs = fsOf(dirA)
+    fs.delete(new Path(s"${IndexBuilder.manifestsDir(dirA)}/seg-1.json"), false)
+    fs.delete(new Path(s"${IndexBuilder.segmentsDir(dirA)}/segId=1"), true)
+    fs.delete(new Path(s"${IndexBuilder.docstatsDir(dirA)}/segId=1"), true)
+
+    val report = IndexBuilder.build(spark, corpus, dirA, cfg)
+    assert(report.builtSegments == Seq(1))
+    val resumed = IndexBuilder.readManifests(fsOf(dirA), dirA)
+    assert(resumed.map(m => (m.segId, m.digest, m.postingRows, m.docCount)) ==
+      fullManifests.map(m => (m.segId, m.digest, m.postingRows, m.docCount)))
+    assertSearchesMatchOracle(dirA, refDocs(fixtureRows), TestFixtures.querySet.take(5))
+  }
+
+  test("determinism across parallelism: digests equal at different shuffle widths") {
+    import spark.implicits._
+    val rows2 = (0 until 200).map { i =>
+      CorpusRow(f"r${i % 7}", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(42L, i.toLong))
+    }
+    val dirA = SparkTestBase.tmpDir("detA")
+    val dirB = SparkTestBase.tmpDir("detB")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    IndexBuilder.build(spark, spark.createDataset(rows2), dirA,
+      IndexConfig(segSize = 64, salts = 2))
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    IndexBuilder.build(spark, spark.createDataset(rows2), dirB,
+      IndexConfig(segSize = 64, salts = 8, segmentsPerBatch = 2))
+    val a = IndexBuilder.readManifests(fsOf(dirA), dirA)
+    val b = IndexBuilder.readManifests(fsOf(dirB), dirB)
+    assert(a.map(m => (m.segId, m.digest, m.postingRows, m.docCount)) ==
+      b.map(m => (m.segId, m.digest, m.postingRows, m.docCount)))
+  }
+
+  test("salted aggregation == unsalted (salts=1) — G2 invariance") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      CorpusRow(f"r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(7L, i.toLong))
+    }
+    val dirA = SparkTestBase.tmpDir("saltA")
+    val dirB = SparkTestBase.tmpDir("saltB")
+    IndexBuilder.build(spark, spark.createDataset(rows), dirA, IndexConfig(segSize = 50, salts = 1))
+    IndexBuilder.build(spark, spark.createDataset(rows), dirB, IndexConfig(segSize = 50, salts = 7))
+    val a = IndexBuilder.readManifests(fsOf(dirA), dirA)
+    val b = IndexBuilder.readManifests(fsOf(dirB), dirB)
+    assert(a.map(m => (m.segId, m.digest)) == b.map(m => (m.segId, m.digest)))
+  }
+
+  test("synthetic corpus: engine == oracle incl. needle phrase and hot-term OR") {
+    import spark.implicits._
+    val n = 2500
+    val corpus = CorpusSource.synth(spark, n, 42L, 4)
+    val dir = SparkTestBase.tmpDir("synth")
+    IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 512, salts = 4))
+    val docs = refDocs(corpus.collect().toSeq)
+    val queries = Seq(
+      "s1" -> "w0000",                      // hottest term
+      "s2" -> "w0000 OR w0001 OR w5000",    // union with hot+cold
+      "s3" -> "w0003 AND w0007",
+      "s4" -> "\"needle alpha beta\"",      // injected phrase
+      "s5" -> "w0001 NOT w0000",
+      "s6" -> "(w0004 OR w0005) AND w0002")
+    assertSearchesMatchOracle(dir, docs, queries)
+  }
+
+  test("merge/compaction preserves search results and digest-invariant content") {
+    import spark.implicits._
+    val rows = (0 until 150).map { i =>
+      CorpusRow(f"r${i % 3}", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(11L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("merge")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 32, salts = 2)) // 5 segments
+    val docs = refDocs(rows)
+    val queries = Seq("m1" -> "w0000", "m2" -> "w0002 AND w0003",
+      "m3" -> "w0001 OR w0004", "m4" -> "\"w0000 w0000\"")
+    assertSearchesMatchOracle(dir, docs, queries)
+
+    Merger.compact(spark, dir, groupSize = 2) // hierarchical pairwise cogroup
+    val after = IndexBuilder.readManifests(fsOf(dir), dir)
+    assert(after.size == 1)
+    assert(after.head.docCount == 150)
+    assertSearchesMatchOracle(dir, docs, queries)
+  }
+
+  test("merge with deletes purges tombstoned docs") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(13L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("del")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 30, salts = 2))
+    val deleted = Set(3L, 17L, 45L)
+    Merger.mergeGroup(spark, dir, Seq(0, 1), deleted)
+    // oracle over the surviving docs, with ORIGINAL docIds and global stats
+    // note: stats.json still reflects pre-delete N/avgfl (reference semantics:
+    // deleted docs vanish from results at merge; stats refresh on optimize is
+    // a separate pass) — compare result SETS only
+    val handle = Searcher.open(spark, dir)
+    val hits = Searcher.search(spark, handle, "w0000", 100).collect()
+    assert(hits.map(_.docId).toSet.intersect(deleted).isEmpty)
+    assert(hits.nonEmpty)
+  }
+}

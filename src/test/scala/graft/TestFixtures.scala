@@ -56,34 +56,4 @@ object TestFixtures {
     (lists, BM25.CorpusStats(sorted.size.toLong, totalLen))
   }
 
-  /** deterministic synthetic corpus (FIXTURES.md §4, simplified scale knob):
-    * Zipf-ish draws from a w0000..w9999 vocabulary via a splittable
-    * counter-based PRNG, with "needle alpha beta" injected every 1000th doc. */
-  def synthDoc(seed: Long, i: Long): String = {
-    val len = 50 + (java.lang.Long.remainderUnsigned(hash64(seed, i, -1L), 400L)).toInt
-    val sb = new StringBuilder(len * 6)
-    var j = 0
-    while (j < len) {
-      if (j > 0) sb.append(' ')
-      sb.append(synthWord(hash64(seed, i, j.toLong)))
-      j += 1
-    }
-    if (i % 1000L == 0L) sb.append(" needle alpha beta")
-    sb.toString
-  }
-
-  /** Zipf(s~1.07)-flavoured rank draw over 10k words, integer-only. */
-  private def synthWord(h: Long): String = {
-    val u = java.lang.Long.remainderUnsigned(h, 1L << 40).toDouble / (1L << 40).toDouble
-    val rank = math.min(9999, (math.pow(10000.0, u) - 1.0).toInt)
-    f"w$rank%04d"
-  }
-
-  def hash64(seed: Long, a: Long, b: Long): Long = {
-    var h = seed * 0x9e3779b97f4a7c15L + a * 0xc2b2ae3d27d4eb4fL + b * 0x165667b19e3779f9L
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h
-  }
 }
