@@ -1,24 +1,101 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.corpus.CorpusSource
+import graft.search.Searcher
+
+/** Benchmark main (BASELINE.md protocol): index-build throughput (docs/sec)
+  * + BM25 query latency sweep over the deterministic synthetic corpus, at
+  * the parallelism given by SPARK_GRAFT_CPUS. Run at 8 and 32 cpus on the
+  * same input to evidence the N -> 4N scaling-efficiency rule
+  * (BASELINE.json:14; no real cluster in the sandbox — see BENCH/BASELINE.md).
+  *
+  * Prints ONE JSON line: metric/value/unit/queries/sf plus extras
+  * (docs_per_sec, build_sec, query p50/p95, index digest for cross-
+  * parallelism determinism checks).
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // corpus size scales with the sf tier: sf0.1 -> 120k docs (~30M tokens)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
+      .getOrElse(math.max(2000L, (sf * 1.2e6).toLong))
+
+    val ixDir = s"/tmp/graft-bench-ix-c$cpus-n$nDocs"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ixDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ixDir), true)
+
+    // ---- build throughput (fixed work W = full index build) ----
+    val t0 = System.nanoTime()
+    val corpus = CorpusSource.synth(spark, nDocs, 42L, cpus * 2)
+    IndexBuilder.build(spark, corpus, ixDir,
+      IndexConfig(segSize = 2048, sortPartitions = cpus * 2))
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / buildSec
+
+    // determinism witness across parallelism levels: digest over manifests
+    val manifests = IndexBuilder.readManifests(fs, ixDir)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    manifests.sortBy(_.segId).foreach(m => md.update(m.digest.getBytes))
+    val indexDigest = md.digest().take(8).map(b => f"$b%02x").mkString
+
+    // ---- query latency sweep ----
+    val handle = Searcher.open(spark, ixDir)
+    val queries = Seq(
+      "q_term_hot" -> "w0000",
+      "q_term_mid" -> "w0100",
+      "q_term_cold" -> "w5000",
+      "q_and" -> "w0003 AND w0007",
+      "q_and_hot" -> "w0000 AND w0001",
+      "q_or_hot" -> "w0000 OR w0001 OR w0002",
+      "q_or_mixed" -> "w0005 OR w2000 OR w7000",
+      "q_phrase" -> "\"needle alpha beta\"",
+      "q_mixed" -> "w0002 AND (w0010 OR w0020)",
+      "q_not" -> "w0004 NOT w0000")
+
+    // warm-up (JIT + parquet footer caches), then timed reps
+    queries.foreach { case (_, q) => Searcher.search(spark, handle, q, 10).collect() }
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val perQuery = queries.map { case (name, q) =>
+      val ts = (0 until reps).map { _ =>
+        val s = System.nanoTime()
+        Searcher.search(spark, handle, q, 10).collect()
+        val d = (System.nanoTime() - s) / 1e9
+        lats += d
+        d
+      }
+      name -> ts.sum / reps
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val sorted = lats.sorted
+    def pct(p: Double) = sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    val total = buildSec + lats.sum
+
+    val qJson = (("build" -> buildSec) +: perQuery)
+      .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +
+        s""""sf":"$sfDir","n_docs":$nDocs,"cpus":$cpus,""" +
+        s""""build_sec":${f"$buildSec%.3f"},"docs_per_sec":${f"$docsPerSec%.1f"},""" +
+        s""""query_p50_ms":${f"${pct(0.5) * 1000}%.1f"},"query_p95_ms":${f"${pct(0.95) * 1000}%.1f"},""" +
+        s""""num_segments":${manifests.size},"index_digest":"$indexDigest"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,7 @@ object SparkEntry {
       val dir = s"/tmp/graft-index-$FormatVersion-" +
         sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val corpus = CorpusSource.fromDocumentsTable(spark, sfDir)
-      IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 128, salts = 4))
+      IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 128))
       dir
     })
 

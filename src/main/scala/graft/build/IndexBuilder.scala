@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 import graft.analysis.Analyzer
-import graft.codec.{LengthByte, PostingsCodec}
+import graft.codec.{LengthByte, PostingsCodec, TermsBlob}
 import graft.model._
 
 /** Distributed inverted-index build (SURVEY.md §3.1, §7.1 steps 4-5).
@@ -21,22 +21,23 @@ import graft.model._
   *  - segments are docId ranges (doc-partitioned index): every segment is a
   *    complete mini-index, so queries are partition-local and fan out
   *    without a global norms/postings shuffle;
-  *  - skew: EVERY (segId, term) aggregation runs two-phase with a docId
-  *    salt, so a term occurring in all docs of a segment produces at most
-  *    segSize/salts postings in any single phase-1 group; phase 2 merges
-  *    <=salts compressed runs streamingly (SURVEY.md G2);
+  *  - skew (G2, salted aggregation): the two-phase aggregation salts on the
+  *    SOURCE-PARTITION id — phase 1 builds one compressed run per (input
+  *    split, segment, term) map-side, so a Zipf-hot term never concentrates
+  *    raw postings anywhere: each phase-1 group is bounded by the split
+  *    size, and phase 2 k-way-merges the <=splits-per-segment runs
+  *    streamingly; run-boundary invariance is property-tested;
   *  - resume: a segment with a committed manifest is never rebuilt; batches
   *    promote staging -> final atomically (rename) before the manifest is
   *    written, so a crash leaves either nothing or a committed segment;
-  *  - shuffles: exactly two wide exchanges per batch (phase-1 salt groupBy
-  *    of raw postings, phase-2 merge of compressed runs) plus the one-off
-  *    docId-stamp range sort. Phase 2 moves ~compressed-segment bytes only.
+  *  - shuffles: ONE wide exchange per batch (compressed runs -> segments),
+  *    plus the one-off docId-stamp range sort. Raw postings never shuffle:
+  *    the exchange moves ~compressed-index bytes only.
   */
 object IndexBuilder {
 
   final case class IndexConfig(
       segSize: Int = 1 << 16,
-      salts: Int = 16,
       /** segments per build job = checkpoint granularity */
       segmentsPerBatch: Int = 256,
       /** partitions for the docId-stamp range sort; 0 = spark default */
@@ -80,6 +81,15 @@ object IndexBuilder {
       .map(b => f"$b%02x").mkString
   }
 
+  /** phase timing to stderr when GRAFT_BUILD_TIMING=1 */
+  private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
+  private def timed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (timing) System.err.println(f"[build-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   /** Full build with resume: segments whose manifest exists are skipped. */
   def build(spark: SparkSession, corpus: Dataset[CorpusRow], indexDir: String,
             cfg: IndexConfig = IndexConfig()): BuildReport = {
@@ -89,8 +99,10 @@ object IndexBuilder {
     // 1. stamped docs (written once; reused verbatim on resume)
     val docsPath = docsDir(indexDir)
     if (!fs.exists(new Path(docsPath, "_SUCCESS"))) {
-      stampDocIds(corpus, cfg.sortPartitions)
-        .write.mode(SaveMode.Overwrite).parquet(docsPath)
+      timed("stamp+write docs") {
+        stampDocIds(corpus, cfg.sortPartitions)
+          .write.mode(SaveMode.Overwrite).parquet(docsPath)
+      }
     }
     val docs = spark.read.parquet(docsPath).as[Doc]
     val numDocs = docs.count()
@@ -113,7 +125,7 @@ object IndexBuilder {
       totalFieldLen = manifests.map(_.rawLenSum).sum,
       numSegments = numSegments,
       segSize = segSize)
-    writeLexicon(spark, indexDir)
+    timed("lexicon")(writeLexicon(spark, indexDir))
     writeStats(fs, indexDir, stats)
     BuildReport(stats, todo, done.toSeq.sorted)
   }
@@ -122,7 +134,6 @@ object IndexBuilder {
                          indexDir: String, batch: Seq[Int], cfg: IndexConfig): Unit = {
     import spark.implicits._
     val segSize = cfg.segSize
-    val salts = cfg.salts
     val staging = stagingDir(indexDir)
     fs.delete(new Path(staging), true)
 
@@ -141,93 +152,150 @@ object IndexBuilder {
         segId = (d.docId / segSize).toInt, docId = d.docId,
         repo = d.repo, path = d.path, commit = d.commit, lang = d.lang,
         sha = d.sha, rawLen = a.fieldLen, lenByte = LengthByte.encode(a.fieldLen),
-        terms = a.terms.map { case (t, ps) => TermPositions(t, ps) })
+        blob = TermsBlob.encode(a))
     }.persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
       // docstats sidecar (stored-field keys + sha invariant + lengths)
-      analyzed
-        .map(a => DocStat(a.segId, a.docId, a.repo, a.path, a.commit, a.lang,
-          a.sha, a.rawLen, a.lenByte))
-        .write.mode(SaveMode.Overwrite).partitionBy("segId")
-        .parquet(s"$staging/docstats")
-
-      // explode -> salted two-phase aggregation -> encoded rows
-      val postings = analyzed.flatMap { a =>
-        a.terms.iterator.map(tp =>
-          Posting(a.segId, tp.term, a.docId, tp.positions.length, a.lenByte, tp.positions))
-      }
-      val runs = postings
-        .groupByKey(p => (p.segId, p.term, (p.docId % salts).toInt))
-        .mapGroups { (key: (Int, String, Int), it: Iterator[Posting]) =>
-          val buf = it.map(p =>
-            PostingsCodec.Pst(p.docId, p.tf, p.lenByte, p.positions)).toArray
-          java.util.Arrays.sort(buf, Ordering.by((p: PostingsCodec.Pst) => p.docId))
-          val enc = PostingsCodec.encode(buf.iterator)
-          Run(key._1, key._2, key._3, enc.df, enc.maxTf, enc.bytes)
-        }
-      val rows = runs
-        .groupByKey(r => (r.segId, r.term))
-        .mapGroups { (key: (Int, String), it: Iterator[Run]) =>
-          val rs = it.toArray
-          val enc =
-            if (rs.length == 1) PostingsCodec.Encoded(rs(0).df, rs(0).maxTf, rs(0).blocks)
-            else PostingsCodec.merge(rs.map(_.blocks).toSeq)
-          SegRow(key._1, key._2, enc.df, enc.maxTf, enc.bytes)
-        }
-        .persist(StorageLevel.MEMORY_AND_DISK)
-
-      try {
-        // term-sorted, one file per segment (parquet min/max stats on `term`
-        // make query-term pushdown sharp — SURVEY.md §4.2)
-        rows.repartition(batch.size, $"segId")
-          .sortWithinPartitions("segId", "term")
+      timed("analyze+docstats") {
+        analyzed
+          .map(a => DocStat(a.segId, a.docId, a.repo, a.path, a.commit, a.lang,
+            a.sha, a.rawLen, a.lenByte))
           .write.mode(SaveMode.Overwrite).partitionBy("segId")
-          .parquet(s"$staging/segments")
+          .parquet(s"$staging/docstats")
+      }
 
-        // per-segment metrics for the manifest (order-independent digest:
-        // XOR of per-row sha256 prefixes — no segment-wide sort needed)
-        val segAgg = rows.groupByKey(_.segId).mapGroups { (segId, it) =>
-          val dig = new Array[Byte](16)
-          var n = 0L
-          var bytes = 0L
-          it.foreach { r =>
-            val md = java.security.MessageDigest.getInstance("SHA-256")
-            md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            md.update(0.toByte)
-            md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
-            md.update(r.blocks)
-            val h = md.digest()
-            var i = 0
-            while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
-            n += 1
-            bytes += r.blocks.length.toLong
+      // Phase 1 (map-side combine, G1/G2): per input partition, stream docs
+      // in docId order and append each (docId, tf, lenByte, positions) to a
+      // per-(segment, term) incremental block encoder; flush a compressed
+      // RUN per term at every segment boundary. Salt = source-partition id:
+      // a hot term never materializes more than one input split's postings
+      // in memory, and only COMPRESSED runs ever hit the shuffle.
+      val runs: Dataset[Run] = analyzed.mapPartitions { docsIt =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        new Iterator[Run] {
+          private val pending = new java.util.ArrayDeque[Run]()
+          private var curSeg = -1
+          private var lastDocId = Long.MinValue
+          private var builders = new java.util.HashMap[String, PostingsCodec.Encoder]()
+
+          private def flushSeg(): Unit = {
+            val it = builders.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              val enc = e.getValue.finish()
+              pending.add(Run(curSeg, e.getKey, pid, enc.df, enc.maxTf, enc.bytes))
+            }
+            builders = new java.util.HashMap[String, PostingsCodec.Encoder]()
           }
-          (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
-        }.collect().map(t => t._1 -> t).toMap
-
-        val docAgg = spark.read.parquet(s"$staging/docstats")
-          .groupBy($"segId")
-          .agg(count(lit(1)).as("docCount"), min($"docId").as("lo"),
-            max($"docId").as("hi"), sum($"rawLen").as("rawLenSum"))
-          .collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-          .toMap
-
-        // promote staging -> final, then commit the manifest (the commit point)
-        batch.foreach { segId =>
-          val (rowsN, bytesN, digest) = segAgg.get(segId)
-            .map(t => (t._2, t._3, t._4)).getOrElse((0L, 0L, "0" * 32))
-          val (docCount, lo, hi, rawLenSum) = docAgg.getOrElse(segId,
-            (0L, segId.toLong * segSize, segId.toLong * segSize, 0L))
-          promoteDir(fs, s"$staging/segments/segId=$segId", s"${segmentsDir(indexDir)}/segId=$segId")
-          promoteDir(fs, s"$staging/docstats/segId=$segId", s"${docstatsDir(indexDir)}/segId=$segId")
-          val m = SegmentManifest(segId, lo, hi, docCount, rawLenSum, rowsN,
-            bytesN, digest, cfg.source)
-          writeManifest(fs, indexDir, m)
+          private def fill(): Unit = {
+            while (pending.isEmpty && docsIt.hasNext) {
+              val a = docsIt.next()
+              // flush on segment boundary OR when docIds run backwards (a
+              // read partition can pack multiple parquet files out of docId
+              // order) — each run must stay docId-ascending
+              if (a.segId != curSeg || a.docId <= lastDocId) {
+                if (curSeg >= 0) flushSeg()
+                curSeg = a.segId
+              }
+              lastDocId = a.docId
+              TermsBlob.foreachEntry(a.blob) { e =>
+                var enc = builders.get(e.term)
+                if (enc == null) { enc = new PostingsCodec.Encoder; builders.put(e.term, enc) }
+                enc.addEncoded(a.docId, e.tf, a.lenByte, a.blob, e.posOff, e.posLen)
+              }
+            }
+            if (pending.isEmpty && !docsIt.hasNext && !builders.isEmpty) flushSeg()
+          }
+          def hasNext: Boolean = { fill(); !pending.isEmpty }
+          def next(): Run = { fill(); pending.poll() }
         }
-        fs.delete(new Path(staging), true)
-      } finally rows.unpersist()
+      }
+
+      // Phase 2 (reduce): ONE shuffle — partition runs by segment, sort by
+      // (segId, term, salt), and stream-merge consecutive runs of the same
+      // term (k-way docId merge). Output rows leave the task already
+      // term-sorted, so the write needs no further exchange and parquet
+      // min/max stats on `term` stay sharp (SURVEY.md §4.2).
+      val numParts = math.max(1, batch.size)
+      val segRows = runs
+        .repartition(numParts, $"segId")
+        .sortWithinPartitions("segId", "term", "salt")
+        .mapPartitions { it =>
+          new Iterator[SegRow] {
+            private var lookahead: Run = if (it.hasNext) it.next() else null
+            def hasNext: Boolean = lookahead != null
+            def next(): SegRow = {
+              val first = lookahead
+              lookahead = null
+              var group = List(first)
+              var continue = true
+              while (continue && it.hasNext) {
+                val r = it.next()
+                if (r.segId == first.segId && r.term == first.term) group = r :: group
+                else { lookahead = r; continue = false }
+              }
+              if (group.tail.isEmpty)
+                SegRow(first.segId, first.term, first.df, first.maxTf, first.blocks)
+              else {
+                val enc = PostingsCodec.merge(group.reverse.map(_.blocks))
+                SegRow(first.segId, first.term, enc.df, enc.maxTf, enc.bytes)
+              }
+            }
+          }
+        }
+
+      timed("postings agg+encode+write") {
+        segRows.write.mode(SaveMode.Overwrite).partitionBy("segId")
+          .parquet(s"$staging/segments")
+      }
+
+      // per-segment metrics for the manifest (order-independent digest:
+      // XOR of per-row sha256 prefixes), computed from the written files
+      val segAgg = timed("manifest segAgg") {
+        spark.read.parquet(s"$staging/segments")
+          .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
+          .groupByKey(_.segId).mapGroups { (segId, it) =>
+            val dig = new Array[Byte](16)
+            var n = 0L
+            var bytes = 0L
+            it.foreach { r =>
+              val md = java.security.MessageDigest.getInstance("SHA-256")
+              md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              md.update(0.toByte)
+              md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
+              md.update(r.blocks)
+              val h = md.digest()
+              var i = 0
+              while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
+              n += 1
+              bytes += r.blocks.length.toLong
+            }
+            (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
+          }.collect().map(t => t._1 -> t).toMap
+      }
+
+      val docAgg = timed("manifest docAgg")(spark.read.parquet(s"$staging/docstats")
+        .groupBy($"segId")
+        .agg(count(lit(1)).as("docCount"), min($"docId").as("lo"),
+          max($"docId").as("hi"), sum($"rawLen").as("rawLenSum"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap)
+
+      // promote staging -> final, then commit the manifest (the commit point)
+      batch.foreach { segId =>
+        val (rowsN, bytesN, digest) = segAgg.get(segId)
+          .map(t => (t._2, t._3, t._4)).getOrElse((0L, 0L, "0" * 32))
+        val (docCount, lo, hi, rawLenSum) = docAgg.getOrElse(segId,
+          (0L, segId.toLong * segSize, segId.toLong * segSize, 0L))
+        promoteDir(fs, s"$staging/segments/segId=$segId", s"${segmentsDir(indexDir)}/segId=$segId")
+        promoteDir(fs, s"$staging/docstats/segId=$segId", s"${docstatsDir(indexDir)}/segId=$segId")
+        val m = SegmentManifest(segId, lo, hi, docCount, rawLenSum, rowsN,
+          bytesN, digest, cfg.source)
+        writeManifest(fs, indexDir, m)
+      }
+      fs.delete(new Path(staging), true)
     } finally analyzed.unpersist()
   }
 

@@ -45,38 +45,65 @@ object PostingsCodec {
   /** Result of encoding a full list. */
   final case class Encoded(df: Int, maxTf: Int, bytes: Array[Byte])
 
-  /** Encode a docId-ascending stream of postings. */
-  def encode(postings: Iterator[Pst]): Encoded = {
-    val out = new Varint.Writer(256)
-    val body = new Array[Pst](BlockSize)
-    var prevLast = -1L
-    var df = 0
-    var listMaxTf = 0
+  /** Incremental block encoder: postings are appended docId-ascending
+    * (one at a time — the streaming primitive behind map-side partial runs),
+    * positions supplied either decoded or as pre-encoded varint bytes
+    * (pos0 + gaps, the exact block wire format -> verbatim copy). */
+  final class Encoder {
+    private val docs = new Array[Long](BlockSize)
+    private val tfs = new Array[Int](BlockSize)
+    private val lens = new Array[Int](BlockSize)
+    private val posW = new Varint.Writer(512) // positions section of the block
+    private val out = new Varint.Writer(256)
+    private var n = 0
+    private var prevLast = -1L
+    private var lastSeen = -1L
+    private var df = 0
+    private var listMaxTf = 0
 
-    def flush(n: Int): Unit = {
+    def add(docId: Long, tf: Int, lenByte: Int, positions: Array[Int]): Unit = {
+      val start = addHeaderFields(docId, tf, lenByte)
+      posW.writeVarInt(positions(0))
+      var j = 1
+      while (j < positions.length) {
+        posW.writeVarInt(positions(j) - positions(j - 1)); j += 1
+      }
+      if (start) flushIfFull()
+    }
+
+    /** positions already wire-encoded (varint pos0 + gaps) */
+    def addEncoded(docId: Long, tf: Int, lenByte: Int,
+                   posBytes: Array[Byte], off: Int, len: Int): Unit = {
+      val start = addHeaderFields(docId, tf, lenByte)
+      posW.writeRawBytes(posBytes, off, len)
+      if (start) flushIfFull()
+    }
+
+    private def addHeaderFields(docId: Long, tf: Int, lenByte: Int): Boolean = {
+      require(docId > lastSeen, s"postings must be docId-ascending: $docId after $lastSeen")
+      lastSeen = docId
+      docs(n) = docId; tfs(n) = tf; lens(n) = lenByte
+      n += 1; df += 1
+      true
+    }
+    @inline private def flushIfFull(): Unit = if (n == BlockSize) flushBlock()
+
+    private def flushBlock(): Unit = {
       if (n == 0) return
-      val first = body(0).docId
-      val last = body(n - 1).docId
-      var maxTf = 0
-      val bw = new Varint.Writer(256)
+      val first = docs(0)
+      val last = docs(n - 1)
+      val bw = new Varint.Writer(64 + posW.size)
       var i = 1
-      while (i < n) { bw.writeVarLong(body(i).docId - body(i - 1).docId); i += 1 }
+      while (i < n) { bw.writeVarLong(docs(i) - docs(i - 1)); i += 1 }
+      var maxTf = 0
       i = 0
       while (i < n) {
-        val tf = body(i).tf
-        if (tf > maxTf) maxTf = tf
-        bw.writeVarInt(tf); i += 1
+        if (tfs(i) > maxTf) maxTf = tfs(i)
+        bw.writeVarInt(tfs(i)); i += 1
       }
       i = 0
-      while (i < n) { bw.writeRawByte(body(i).lenByte); i += 1 }
-      i = 0
-      while (i < n) {
-        val ps = body(i).positions
-        bw.writeVarInt(ps(0))
-        var j = 1
-        while (j < ps.length) { bw.writeVarInt(ps(j) - ps(j - 1)); j += 1 }
-        i += 1
-      }
+      while (i < n) { bw.writeRawByte(lens(i)); i += 1 }
+      bw.writeRawBytes(posW.toBytes)
       out.writeVarInt(n)
       out.writeVarLong(first - prevLast)
       out.writeVarLong(last - first)
@@ -85,20 +112,22 @@ object PostingsCodec {
       out.writeRawBytes(bw.toBytes)
       prevLast = last
       if (maxTf > listMaxTf) listMaxTf = maxTf
+      n = 0
+      posW.reset()
     }
 
-    var n = 0
-    var lastSeen = -1L
-    while (postings.hasNext) {
-      val p = postings.next()
-      require(p.docId > lastSeen, s"postings must be docId-ascending: ${p.docId} after $lastSeen")
+    def isEmpty: Boolean = df == 0
+    def finish(): Encoded = { flushBlock(); Encoded(df, listMaxTf, out.toBytes) }
+  }
+
+  /** Encode a docId-ascending stream of postings. */
+  def encode(postings: Iterator[Pst]): Encoded = {
+    val enc = new Encoder
+    postings.foreach { p =>
       require(p.positions.length == p.tf, s"tf=${p.tf} != positions ${p.positions.length}")
-      lastSeen = p.docId
-      body(n) = p; n += 1; df += 1
-      if (n == BlockSize) { flush(n); n = 0 }
+      enc.add(p.docId, p.tf, p.lenByte, p.positions)
     }
-    flush(n)
-    Encoded(df, listMaxTf, out.toBytes)
+    enc.finish()
   }
 
   /** Fully decode a list (merge path, tests). Streaming, block at a time. */

@@ -45,6 +45,7 @@ object Varint {
 
     def size: Int = len
     def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+    def reset(): Unit = len = 0
   }
 
   /** Positional reader over a byte array slice. */

@@ -12,25 +12,23 @@ final case class CorpusRow(repo: String, path: String, commit: String,
 final case class Doc(docId: Long, repo: String, path: String, commit: String,
                      lang: String, content: String, sha: String)
 
-final case class TermPositions(term: String, positions: Array[Int])
-
 /** one tokenized document: everything both downstream consumers (docstats +
-  * postings) need, so the analysis chain runs exactly once per doc */
+  * postings) need, so the analysis chain runs exactly once per doc; term
+  * stats are packed into a binary blob (TermsBlob) to keep persist +
+  * shuffle encoding cheap */
 final case class AnalyzedDoc(segId: Int, docId: Long, repo: String, path: String,
                              commit: String, lang: String, sha: String,
-                             rawLen: Int, lenByte: Int,
-                             terms: Array[TermPositions])
+                             rawLen: Int, lenByte: Int, blob: Array[Byte])
 
 /** per-doc sidecar row: stored-field keys + stats + sha invariant */
 final case class DocStat(segId: Int, docId: Long, repo: String, path: String,
                          commit: String, lang: String, sha: String,
                          rawLen: Int, lenByte: Int)
 
-/** exploded posting (pre-aggregation) */
-final case class Posting(segId: Int, term: String, docId: Long, tf: Int,
-                         lenByte: Int, positions: Array[Int])
-
-/** phase-1 (salted) partial posting list — an encoded docId-sorted run */
+/** map-side partial posting list: one encoded docId-sorted run per
+  * (source partition, segment, term) — the salt of the two-phase salted
+  * aggregation is the source-partition id (G2: a term hot across a whole
+  * segment still arrives as bounded-size runs from each input split) */
 final case class Run(segId: Int, term: String, salt: Int, df: Int, maxTf: Int,
                      blocks: Array[Byte])
 

@@ -59,7 +59,7 @@ class SparkIndexSpec extends AnyFunSuite {
     val dir = SparkTestBase.tmpDir("fix")
     val corpus = spark.createDataset(fixtureRows)
     val report = IndexBuilder.build(spark, corpus, dir,
-      IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 2))
+      IndexConfig(segSize = 2, segmentsPerBatch = 2))
     assert(report.stats.numDocs == 5)
     assert(report.stats.numSegments == 3)
     assert(report.builtSegments == Seq(0, 1, 2))
@@ -75,7 +75,7 @@ class SparkIndexSpec extends AnyFunSuite {
 
     // resume: nothing to rebuild, stats identical
     val report2 = IndexBuilder.build(spark, corpus, dir,
-      IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 2))
+      IndexConfig(segSize = 2, segmentsPerBatch = 2))
     assert(report2.builtSegments.isEmpty)
     assert(report2.skippedSegments == Seq(0, 1, 2))
     assert(report2.stats == report.stats)
@@ -85,7 +85,7 @@ class SparkIndexSpec extends AnyFunSuite {
     import spark.implicits._
     val dirA = SparkTestBase.tmpDir("resA")
     val corpus = spark.createDataset(fixtureRows)
-    val cfg = IndexConfig(segSize = 2, salts = 2, segmentsPerBatch = 1)
+    val cfg = IndexConfig(segSize = 2, segmentsPerBatch = 1)
     IndexBuilder.build(spark, corpus, dirA, cfg)
     val fullManifests = IndexBuilder.readManifests(fsOf(dirA), dirA)
 
@@ -113,17 +113,17 @@ class SparkIndexSpec extends AnyFunSuite {
     val dirB = SparkTestBase.tmpDir("detB")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     IndexBuilder.build(spark, spark.createDataset(rows2), dirA,
-      IndexConfig(segSize = 64, salts = 2))
+      IndexConfig(segSize = 64, sortPartitions = 2))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     IndexBuilder.build(spark, spark.createDataset(rows2), dirB,
-      IndexConfig(segSize = 64, salts = 8, segmentsPerBatch = 2))
+      IndexConfig(segSize = 64, sortPartitions = 8, segmentsPerBatch = 2))
     val a = IndexBuilder.readManifests(fsOf(dirA), dirA)
     val b = IndexBuilder.readManifests(fsOf(dirB), dirB)
     assert(a.map(m => (m.segId, m.digest, m.postingRows, m.docCount)) ==
       b.map(m => (m.segId, m.digest, m.postingRows, m.docCount)))
   }
 
-  test("salted aggregation == unsalted (salts=1) — G2 invariance") {
+  test("salted (partial-run) aggregation is run-boundary invariant — G2") {
     import spark.implicits._
     val rows = (0 until 120).map { i =>
       CorpusRow(f"r0", f"f$i%04d.txt", f"$i%040x", "text",
@@ -131,8 +131,10 @@ class SparkIndexSpec extends AnyFunSuite {
     }
     val dirA = SparkTestBase.tmpDir("saltA")
     val dirB = SparkTestBase.tmpDir("saltB")
-    IndexBuilder.build(spark, spark.createDataset(rows), dirA, IndexConfig(segSize = 50, salts = 1))
-    IndexBuilder.build(spark, spark.createDataset(rows), dirB, IndexConfig(segSize = 50, salts = 7))
+    // one run per (segment, term) vs many: doc files = sortPartitions, and
+    // each input split salts its own partial runs
+    IndexBuilder.build(spark, spark.createDataset(rows), dirA, IndexConfig(segSize = 50, sortPartitions = 1))
+    IndexBuilder.build(spark, spark.createDataset(rows), dirB, IndexConfig(segSize = 50, sortPartitions = 13))
     val a = IndexBuilder.readManifests(fsOf(dirA), dirA)
     val b = IndexBuilder.readManifests(fsOf(dirB), dirB)
     assert(a.map(m => (m.segId, m.digest)) == b.map(m => (m.segId, m.digest)))
@@ -143,7 +145,7 @@ class SparkIndexSpec extends AnyFunSuite {
     val n = 2500
     val corpus = CorpusSource.synth(spark, n, 42L, 4)
     val dir = SparkTestBase.tmpDir("synth")
-    IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 512, salts = 4))
+    IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 512))
     val docs = refDocs(corpus.collect().toSeq)
     val queries = Seq(
       "s1" -> "w0000",                      // hottest term
@@ -163,7 +165,7 @@ class SparkIndexSpec extends AnyFunSuite {
     }
     val dir = SparkTestBase.tmpDir("merge")
     IndexBuilder.build(spark, spark.createDataset(rows), dir,
-      IndexConfig(segSize = 32, salts = 2)) // 5 segments
+      IndexConfig(segSize = 32)) // 5 segments
     val docs = refDocs(rows)
     val queries = Seq("m1" -> "w0000", "m2" -> "w0002 AND w0003",
       "m3" -> "w0001 OR w0004", "m4" -> "\"w0000 w0000\"")
@@ -184,7 +186,7 @@ class SparkIndexSpec extends AnyFunSuite {
     }
     val dir = SparkTestBase.tmpDir("del")
     IndexBuilder.build(spark, spark.createDataset(rows), dir,
-      IndexConfig(segSize = 30, salts = 2))
+      IndexConfig(segSize = 30))
     val deleted = Set(3L, 17L, 45L)
     Merger.mergeGroup(spark, dir, Seq(0, 1), deleted)
     // oracle over the surviving docs, with ORIGINAL docIds and global stats
