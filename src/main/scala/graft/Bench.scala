@@ -45,7 +45,7 @@ object Bench {
     val t0 = System.nanoTime()
     val corpus = CorpusSource.synth(spark, nDocs, 42L, cpus * 2)
     IndexBuilder.build(spark, corpus, ixDir,
-      IndexConfig(segSize = 2048, sortPartitions = cpus * 2))
+      IndexConfig(segSize = 4096, sortPartitions = cpus * 2))
     val buildSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nDocs / buildSec
 

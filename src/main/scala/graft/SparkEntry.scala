@@ -65,10 +65,11 @@ object SparkEntry {
       s.read.parquet(IndexBuilder.docsDir(indexFor(s, dir)))
         .select(col("docId").as("docid"), col("repo"), col("path"))
     }),
-    // A1-A3: analysis chain with raw-stream positions
+    // A1-A3: analysis chain with raw-stream positions (the doc-key map is
+    // content-free, so tokens re-derive the stamped corpus in-flight)
     "ft_tokens" -> ((s, dir) => {
       import s.implicits._
-      s.read.parquet(IndexBuilder.docsDir(indexFor(s, dir)))
+      IndexBuilder.stampDocIds(CorpusSource.fromDocumentsTable(s, dir))
         .select($"docId", $"content").as[(Long, String)]
         .flatMap { case (id, c) =>
           Analyzer.tokenize(c).iterator.map(t => (id, t.pos.toLong, t.term))

@@ -90,44 +90,59 @@ object IndexBuilder {
     r
   }
 
-  /** Full build with resume: segments whose manifest exists are skipped. */
+  /** Full build with resume: segments whose manifest exists are skipped.
+    *
+    * The content-bearing corpus is NEVER rewritten (at 10^12-file scale the
+    * input table IS the doc store): stamping happens in-flight, persisted
+    * for the duration of the run, and only a content-free doc-key map
+    * (docId, repo, path, commit, lang, sha) is materialized for lookups.
+    * docIds are a pure function of the corpus (D1), so a resumed run
+    * re-derives identical ids. */
   def build(spark: SparkSession, corpus: Dataset[CorpusRow], indexDir: String,
             cfg: IndexConfig = IndexConfig()): BuildReport = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
 
-    // 1. stamped docs (written once; reused verbatim on resume)
     val docsPath = docsDir(indexDir)
-    if (!fs.exists(new Path(docsPath, "_SUCCESS"))) {
-      timed("stamp+write docs") {
-        stampDocIds(corpus, cfg.sortPartitions)
-          .write.mode(SaveMode.Overwrite).parquet(docsPath)
+    val metaExists = fs.exists(new Path(docsPath, "_SUCCESS"))
+    // NOT cached: at scale the stamped corpus is too large to pin, and the
+    // stamp is a cheap deterministic recompute (gen/scan + range sort);
+    // each consumer (key map, batch analysis) re-derives it
+    def stampedDocs: Dataset[Doc] = stampDocIds(corpus, cfg.sortPartitions)
+
+    {
+      // 1. doc-key map (content-free), written once
+      val numDocs =
+        if (metaExists) spark.read.parquet(docsPath).count()
+        else timed("stamp+write doc keys") {
+          stampedDocs
+            .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha")
+            .write.mode(SaveMode.Overwrite).parquet(docsPath)
+          spark.read.parquet(docsPath).count()
+        }
+      val numSegments = math.max(1, ((numDocs + cfg.segSize - 1) / cfg.segSize).toInt)
+
+      // 2. resume: committed manifests
+      val done = readManifests(fs, indexDir).map(_.segId).toSet
+      val todo = (0 until numSegments).filterNot(done)
+      val segSize = cfg.segSize
+
+      todo.grouped(cfg.segmentsPerBatch).foreach { batch =>
+        buildBatch(spark, fs, stampedDocs, indexDir, batch, cfg)
       }
+
+      // 3. index-level stats + lexicon (cheap relative to the build; redone
+      // at the end of every (re)run so a resumed build finishes identically)
+      val manifests = readManifests(fs, indexDir)
+      val stats = IndexStats(
+        numDocs = manifests.map(_.docCount).sum,
+        totalFieldLen = manifests.map(_.rawLenSum).sum,
+        numSegments = numSegments,
+        segSize = segSize)
+      timed("lexicon")(writeLexicon(spark, indexDir))
+      writeStats(fs, indexDir, stats)
+      BuildReport(stats, todo, done.toSeq.sorted)
     }
-    val docs = spark.read.parquet(docsPath).as[Doc]
-    val numDocs = docs.count()
-    val numSegments = math.max(1, ((numDocs + cfg.segSize - 1) / cfg.segSize).toInt)
-
-    // 2. resume: committed manifests
-    val done = readManifests(fs, indexDir).map(_.segId).toSet
-    val todo = (0 until numSegments).filterNot(done)
-    val segSize = cfg.segSize
-
-    todo.grouped(cfg.segmentsPerBatch).foreach { batch =>
-      buildBatch(spark, fs, docs, indexDir, batch, cfg)
-    }
-
-    // 3. index-level stats + lexicon (cheap relative to the build; redone at
-    // the end of every (re)run so a resumed build finishes identically)
-    val manifests = readManifests(fs, indexDir)
-    val stats = IndexStats(
-      numDocs = manifests.map(_.docCount).sum,
-      totalFieldLen = manifests.map(_.rawLenSum).sum,
-      numSegments = numSegments,
-      segSize = segSize)
-    timed("lexicon")(writeLexicon(spark, indexDir))
-    writeStats(fs, indexDir, stats)
-    BuildReport(stats, todo, done.toSeq.sorted)
   }
 
   private def buildBatch(spark: SparkSession, fs: FileSystem, docs: Dataset[Doc],
@@ -137,8 +152,8 @@ object IndexBuilder {
     val staging = stagingDir(indexDir)
     fs.delete(new Path(staging), true)
 
-    // contiguous segId runs -> docId range predicate (parquet row-group pruning
-    // on the docId-sorted docs files)
+    // contiguous segId runs -> docId range predicate over the persisted
+    // stamped corpus (in-memory partition filter)
     val ranges = contiguousRuns(batch).map { case (lo, hi) =>
       (lo.toLong * segSize, (hi.toLong + 1L) * segSize)
     }

@@ -25,8 +25,11 @@ object Searcher {
 
   final case class SearchHit(docId: Long, score: Double)
 
-  /** parsed once per index open */
-  final case class IndexHandle(indexDir: String, stats: BM25.CorpusStats)
+  /** parsed once per index open; df lookups memoized (index is immutable,
+    * so a term's global df never changes under a handle) */
+  final case class IndexHandle(indexDir: String, stats: BM25.CorpusStats) {
+    private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  }
 
   def open(spark: SparkSession, indexDir: String): IndexHandle = {
     val fs = FileSystem.get(new java.net.URI(indexDir),
@@ -35,16 +38,23 @@ object Searcher {
     IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen))
   }
 
-  /** global df for the query's terms: one pruned lexicon scan */
+  /** global df for the query's terms: one pruned lexicon scan for the
+    * not-yet-cached terms (a term absent from the lexicon has df 0 and is
+    * cached as such so it's never re-fetched) */
   def termDfs(spark: SparkSession, handle: IndexHandle, terms: Set[String]): Map[String, Long] = {
     import spark.implicits._
     if (terms.isEmpty) return Map.empty
-    spark.read.parquet(IndexBuilder.lexiconDir(handle.indexDir))
-      .filter($"term".isin(terms.toSeq: _*))
-      .as[LexRow]
-      .collect()
-      .map(l => l.term -> l.df)
-      .toMap
+    val missing = terms.filterNot(handle.dfCache.containsKey)
+    if (missing.nonEmpty) {
+      val fetched = spark.read.parquet(IndexBuilder.lexiconDir(handle.indexDir))
+        .filter($"term".isin(missing.toSeq: _*))
+        .as[LexRow]
+        .collect()
+        .map(l => l.term -> l.df)
+        .toMap
+      missing.foreach(t => handle.dfCache.put(t, Long.box(fetched.getOrElse(t, 0L))))
+    }
+    terms.iterator.map(t => t -> handle.dfCache.get(t).longValue()).toMap
   }
 
   /** top-k hits as a Dataset (k rows), rank-identical to RefModel. */
