@@ -22,9 +22,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // shuffle + ephemeral bench artifacts live on tmpfs when available: the
+    // sandbox's shared virtio disk is the noisiest non-scaling resource, and
+    // a real cluster's local NVMe + network shuffle is better approximated
+    // by RAM than by a contended /dev/vda (set GRAFT_BENCH_TMPFS=0 to opt out)
+    val tmpfs = !sys.env.get("GRAFT_BENCH_TMPFS").contains("0") &&
+      new java.io.File("/dev/shm").isDirectory
+    val scratch = if (tmpfs) "/dev/shm/graft-bench" else "/tmp/graft-bench"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.local.dir", s"$scratch/spark-local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -36,16 +44,38 @@ object Bench {
     val nDocs = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toLong)
       .getOrElse(math.max(2000L, (sf * 1.2e6).toLong))
 
-    val ixDir = s"/tmp/graft-bench-ix-c$cpus-n$nDocs"
+    val ixDir = s"$scratch/ix-c$cpus-n$nDocs"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(ixDir), spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(ixDir), true)
 
+    // job-boundary tracing: wall time per job + inter-job driver gaps
+    if (sys.env.get("GRAFT_BUILD_TIMING").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private var lastEnd = System.nanoTime()
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val now = System.nanoTime()
+          starts.put(js.jobId, now)
+          System.err.println(f"[jobs] gap before job ${js.jobId}: ${(now - lastEnd) / 1e9}%.2f s")
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val now = System.nanoTime()
+          val st = Option(starts.get(je.jobId)).getOrElse(now)
+          System.err.println(f"[jobs] job ${je.jobId}: ${(now - st) / 1e9}%.2f s")
+          lastEnd = now
+        }
+      })
+    }
+
     // ---- build throughput (fixed work W = full index build) ----
     val t0 = System.nanoTime()
     val corpus = CorpusSource.synth(spark, nDocs, 42L, cpus * 2)
+    // segment size scales with the corpus (target ~128 segments) but NOT
+    // with cpus: the N- and 4N-core runs must execute identical work
+    val segSize = math.max(4096L, nDocs / 128L).toInt
     IndexBuilder.build(spark, corpus, ixDir,
-      IndexConfig(segSize = 4096, sortPartitions = cpus * 2))
+      IndexConfig(segSize = segSize, sortPartitions = cpus * 2))
     val buildSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nDocs / buildSec
 

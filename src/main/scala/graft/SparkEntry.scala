@@ -60,9 +60,10 @@ object SparkEntry {
         .select(col("repo"), col("path"), col("commit"), col("lang"),
           sha2(col("content"), 256).as("sha"))
     }),
-    // D1: deterministic dense docId assignment
+    // D1: deterministic dense docId assignment (docstats doubles as the
+    // doc-key map)
     "ft_docids" -> ((s, dir) => {
-      s.read.parquet(IndexBuilder.docsDir(indexFor(s, dir)))
+      s.read.parquet(IndexBuilder.docstatsDir(indexFor(s, dir)))
         .select(col("docId").as("docid"), col("repo"), col("path"))
     }),
     // A1-A3: analysis chain with raw-stream positions (the doc-key map is

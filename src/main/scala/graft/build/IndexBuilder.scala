@@ -103,23 +103,16 @@ object IndexBuilder {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
 
-    val docsPath = docsDir(indexDir)
-    val metaExists = fs.exists(new Path(docsPath, "_SUCCESS"))
     // NOT cached: at scale the stamped corpus is too large to pin, and the
     // stamp is a cheap deterministic recompute (gen/scan + range sort);
-    // each consumer (key map, batch analysis) re-derives it
+    // each batch re-derives it. The docstats sidecar doubles as the doc-key
+    // map (docId, repo, path, commit, lang, sha) — no separate write.
     def stampedDocs: Dataset[Doc] = stampDocIds(corpus, cfg.sortPartitions)
 
     {
-      // 1. doc-key map (content-free), written once
-      val numDocs =
-        if (metaExists) spark.read.parquet(docsPath).count()
-        else timed("stamp+write doc keys") {
-          stampedDocs
-            .select($"docId", $"repo", $"path", $"commit", $"lang", $"sha")
-            .write.mode(SaveMode.Overwrite).parquet(docsPath)
-          spark.read.parquet(docsPath).count()
-        }
+      // 1. segment layout from the row count alone (cheap: parquet footer
+      // count / range size; no stamp, no content scan)
+      val numDocs = timed("corpus count")(corpus.count())
       val numSegments = math.max(1, ((numDocs + cfg.segSize - 1) / cfg.segSize).toInt)
 
       // 2. resume: committed manifests

@@ -25,9 +25,11 @@ object Searcher {
 
   final case class SearchHit(docId: Long, score: Double)
 
-  /** parsed once per index open; df lookups memoized (index is immutable,
-    * so a term's global df never changes under a handle) */
-  final case class IndexHandle(indexDir: String, stats: BM25.CorpusStats) {
+  /** Opened once per index: corpus stats, the segment/lexicon relations
+    * (file listing + partition discovery happen here, NOT per query), and a
+    * df memo (the index is immutable under a handle). */
+  final class IndexHandle(val indexDir: String, val stats: BM25.CorpusStats,
+                          val segments: DataFrame, val lexicon: DataFrame) {
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
 
@@ -35,7 +37,9 @@ object Searcher {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val st = IndexBuilder.readStats(fs, indexDir)
-    IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen))
+    new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
+      spark.read.parquet(IndexBuilder.segmentsDir(indexDir)),
+      spark.read.parquet(IndexBuilder.lexiconDir(indexDir)))
   }
 
   /** global df for the query's terms: one pruned lexicon scan for the
@@ -46,7 +50,7 @@ object Searcher {
     if (terms.isEmpty) return Map.empty
     val missing = terms.filterNot(handle.dfCache.containsKey)
     if (missing.nonEmpty) {
-      val fetched = spark.read.parquet(IndexBuilder.lexiconDir(handle.indexDir))
+      val fetched = handle.lexicon
         .filter($"term".isin(missing.toSeq: _*))
         .as[LexRow]
         .collect()
@@ -78,7 +82,7 @@ object Searcher {
     val pruneLocal = prune
     val qLocal = q
 
-    val rows = spark.read.parquet(IndexBuilder.segmentsDir(handle.indexDir))
+    val rows = handle.segments
       .filter($"term".isin(terms.toSeq: _*))
       .select($"term", $"df", $"maxTf", $"blocks", $"segId")
       .as[SegRead]
