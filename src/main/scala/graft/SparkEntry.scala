@@ -7,6 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.IndexBuilder
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
+import graft.ops.{Dedup, Similarity, TextQuality}
 import graft.search.Searcher
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -128,8 +129,56 @@ object SparkEntry {
       IndexBuilder.readManifests(fs, ix)
         .map(m => (m.segId, m.docCount, m.postingRows, m.postingBytes, m.digest))
         .toDF("segid", "doc_count", "posting_rows", "posting_bytes", "digest")
-    })
+    }),
+
+    // ---- training-data pipeline operators over documents/embeddings ----
+    // exact dedup: hash-groupBy canonicalization
+    "dd_exact" -> ((s, dir) => Dedup.exact(docsTable(s, dir), "doc_id", "text")),
+    // MinHash+LSH near-dup pairs; exact-Jaccard verified, so the output
+    // equals the oracle's exhaustive pair scan above the threshold
+    "dd_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
+    // SimHash signatures + hamming-blocked pairs (binary codec not
+    // SQL-expressible -> rows-only)
+    "dd_simhash" -> ((s, dir) => Dedup.simhash(docsTable(s, dir), "doc_id", "text")),
+    "dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docsTable(s, dir), "doc_id", "text", maxHamming = 6)),
+    // embedding-cosine near-dup pairs (exact; LSH-bucketed at scale)
+    "dd_embed_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(embTable(s, dir), "vec_id", "embedding", 0.45)),
+    // brute-force cosine top-k around the vec_id=0 embedding
+    "ann_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = queryVec(s, dir)
+      Similarity.cosineTopK(embTable(s, dir), "vec_id", "embedding", q, 60)
+        .withColumn("r6", round($"sim", 6))
+        .orderBy($"r6".desc, $"id".asc)
+        .limit(10)
+        .select($"id", round($"sim", 4).as("sim"))
+    }),
+    // SRP-bucketed approximate variant (scale path; rows-only)
+    "ann_srp_topk" -> ((s, dir) =>
+      Similarity.srpTopK(embTable(s, dir), "vec_id", "embedding",
+        queryVec(s, dir), 10)),
+    // text analysis: token counting, quality scoring, language id,
+    // winnowing-style fingerprint
+    "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
+    "ql_quality" -> ((s, dir) => TextQuality.qualityScore(docsTable(s, dir), "doc_id", "text")),
+    "ql_lang" -> ((s, dir) => TextQuality.langId(docsTable(s, dir), "doc_id", "text")),
+    "ql_fingerprint" -> ((s, dir) => TextQuality.fingerprint(docsTable(s, dir), "doc_id", "text"))
   )
+
+  private def docsTable(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"$sfDir/documents.parquet")
+  private def embTable(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(s"$sfDir/embeddings.parquet")
+  private val qvCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private def queryVec(s: SparkSession, sfDir: String): Array[Float] =
+    qvCache.computeIfAbsent(sfDir, { _ =>
+      embTable(s, sfDir).filter(col("vec_id") === 0)
+        .select("embedding").head.getSeq[Float](0).toArray
+    })
 
   // ---------------------------------------------------------------- oracle
 
@@ -247,6 +296,82 @@ object SparkEntry {
     "ft_topk_not" -> (cte + " " + rank(
       """SELECT docid, s AS score FROM contrib WHERE term = 'merge'
         | AND docid NOT IN (SELECT docid FROM contrib WHERE term = 'join')"""
-        .stripMargin.replace("\n", " ")))
+        .stripMargin.replace("\n", " "))),
+
+    // ---- training-data ops (documents / embeddings tables) ----
+    "dd_exact" ->
+      """SELECT doc_id AS id,
+        | min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+        | sha256(text) AS sha FROM documents""".stripMargin.replace("\n", " "),
+    "dd_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.7"""
+        .stripMargin.replace("\n", " "),
+    "dd_embed_pairs" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sum(v*v) AS n2 FROM u GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |s AS (SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS sim
+        |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.45"""
+        .stripMargin.replace("\n", " "),
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+        |  unnest(range(len(embedding))) AS i FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |s AS (SELECT u.vec_id AS id, sum(u.v*q.qv) AS dot, sum(u.v*u.v) AS n2
+        |  FROM u JOIN q USING (i) GROUP BY u.vec_id),
+        |r AS (SELECT id, dot / sqrt(n2 * (SELECT sum(qv*qv) FROM q)) AS sim FROM s)
+        |SELECT id, round(rawsim, 4) AS sim
+        |FROM (SELECT id, sim AS rawsim, round(sim, 6) AS r6 FROM r) rr
+        |ORDER BY r6 DESC, id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+    "ql_tokens" ->
+      """SELECT doc_id AS id,
+        | len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(text, '\w+'))::BIGINT AS word_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))::BIGINT AS bpe_ish_tokens
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "ql_quality" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws, text FROM documents),
+         |m AS (SELECT doc_id, len(ws)::BIGINT AS n,
+         |  len(list_filter(ws, x -> list_contains([$StopList], x)))::BIGINT AS stops,
+         |  length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g'))::BIGINT AS alpha,
+         |  length(text)::BIGINT AS chars FROM w)
+         |SELECT doc_id AS id, n AS n_tokens,
+         | round(CASE WHEN n = 0 THEN 0 ELSE stops::DOUBLE / n END, 4) AS stop_ratio,
+         | round(CASE WHEN chars = 0 THEN 0 ELSE alpha::DOUBLE / chars END, 4) AS alpha_ratio,
+         | round(0.4 * least(n / 100.0, 1.0)
+         |   + 0.3 * (1.0 - CASE WHEN n = 0 THEN 0 ELSE stops::DOUBLE / n END)
+         |   + 0.3 * (CASE WHEN chars = 0 THEN 0 ELSE alpha::DOUBLE / chars END), 4) AS score
+         |FROM m""".stripMargin.replace("\n", " "),
+    "ql_lang" ->
+      s"""WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws FROM documents),
+         |m AS (SELECT doc_id, len(ws)::BIGINT AS n,
+         |  len(list_filter(ws, x -> list_contains([$StopList], x)))::BIGINT AS stops FROM w)
+         |SELECT doc_id AS id,
+         | round(CASE WHEN n = 0 THEN 0 ELSE stops::DOUBLE / n END, 4) AS en_stop_ratio,
+         | CASE WHEN n = 0 THEN 'unknown'
+         |      WHEN (CASE WHEN n = 0 THEN 0 ELSE stops::DOUBLE / n END) >= 0.05 THEN 'en'
+         |      ELSE 'other' END AS lang_pred
+         |FROM m""".stripMargin.replace("\n", " "),
+    "ql_fingerprint" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents)
+        |SELECT doc_id AS id,
+        | CASE WHEN len(ws) = 0 THEN sha256('')
+        |      WHEN len(ws) <= 5 THEN sha256(array_to_string(ws, ' '))
+        |      ELSE list_aggregate(
+        |        [sha256(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+        |         FOR i IN range(1, len(ws) - 3)], 'min')
+        | END AS fingerprint
+        |FROM w""".stripMargin.replace("\n", " ")
   )
 }

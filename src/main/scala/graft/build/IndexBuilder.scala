@@ -38,8 +38,10 @@ object IndexBuilder {
 
   final case class IndexConfig(
       segSize: Int = 1 << 16,
-      /** segments per build job = checkpoint granularity */
-      segmentsPerBatch: Int = 256,
+      /** segments per build job = checkpoint granularity; the default
+        * (MaxValue) builds everything in ONE count-free pass — set a finite
+        * batch size to opt into mid-build checkpoints */
+      segmentsPerBatch: Int = Int.MaxValue,
       /** partitions for the docId-stamp range sort; 0 = spark default */
       sortPartitions: Int = 0,
       source: String = "corpus")
@@ -110,27 +112,33 @@ object IndexBuilder {
     def stampedDocs: Dataset[Doc] = stampDocIds(corpus, cfg.sortPartitions)
 
     {
-      // 1. segment layout from the row count alone (cheap: parquet footer
-      // count / range size; no stamp, no content scan)
-      val numDocs = timed("corpus count")(corpus.count())
-      val numSegments = math.max(1, ((numDocs + cfg.segSize - 1) / cfg.segSize).toInt)
-
-      // 2. resume: committed manifests
       val done = readManifests(fs, indexDir).map(_.segId).toSet
-      val todo = (0 until numSegments).filterNot(done)
       val segSize = cfg.segSize
+      val todo: Seq[Int] =
+        if (done.isEmpty && cfg.segmentsPerBatch == Int.MaxValue) {
+          // fresh single-shot build: NO corpus count, no docId predicate —
+          // one pass builds every segment, segIds discovered from the output
+          // (a count of a generated/typed-mapped source costs a full scan)
+          buildBatch(spark, fs, stampedDocs, indexDir, None, cfg)
+          readManifests(fs, indexDir).map(_.segId)
+        } else {
+          // resume / explicit checkpoint batching: layout from the row count
+          val numDocs = timed("corpus count")(corpus.count())
+          val numSegments = math.max(1, ((numDocs + segSize - 1) / segSize).toInt)
+          val remaining = (0 until numSegments).filterNot(done)
+          remaining.grouped(cfg.segmentsPerBatch).foreach { batch =>
+            buildBatch(spark, fs, stampedDocs, indexDir, Some(batch), cfg)
+          }
+          remaining
+        }
 
-      todo.grouped(cfg.segmentsPerBatch).foreach { batch =>
-        buildBatch(spark, fs, stampedDocs, indexDir, batch, cfg)
-      }
-
-      // 3. index-level stats + lexicon (cheap relative to the build; redone
+      // index-level stats + lexicon (cheap relative to the build; redone
       // at the end of every (re)run so a resumed build finishes identically)
       val manifests = readManifests(fs, indexDir)
       val stats = IndexStats(
         numDocs = manifests.map(_.docCount).sum,
         totalFieldLen = manifests.map(_.rawLenSum).sum,
-        numSegments = numSegments,
+        numSegments = manifests.map(_.segId).maxOption.map(_ + 1).getOrElse(0),
         segSize = segSize)
       timed("lexicon")(writeLexicon(spark, indexDir))
       writeStats(fs, indexDir, stats)
@@ -138,23 +146,35 @@ object IndexBuilder {
     }
   }
 
+  /** streaming-append entry: build the given fresh segIds from an already
+    * stamped (docId-shifted) batch — see graft.streaming.StreamingIngest */
+  private[graft] def buildBatchForAppend(spark: SparkSession, fs: FileSystem,
+                                         docs: Dataset[Doc], indexDir: String,
+                                         batch: Seq[Int], cfg: IndexConfig): Unit =
+    buildBatch(spark, fs, docs, indexDir, Some(batch), cfg)
+
+  /** batch = None builds ALL segments found in `docs` in one pass. */
   private def buildBatch(spark: SparkSession, fs: FileSystem, docs: Dataset[Doc],
-                         indexDir: String, batch: Seq[Int], cfg: IndexConfig): Unit = {
+                         indexDir: String, batch: Option[Seq[Int]],
+                         cfg: IndexConfig): Unit = {
     import spark.implicits._
     val segSize = cfg.segSize
     val staging = stagingDir(indexDir)
     fs.delete(new Path(staging), true)
 
-    // contiguous segId runs -> docId range predicate over the persisted
-    // stamped corpus (in-memory partition filter)
-    val ranges = contiguousRuns(batch).map { case (lo, hi) =>
-      (lo.toLong * segSize, (hi.toLong + 1L) * segSize)
+    // contiguous segId runs -> docId range predicate over the stamped corpus
+    val filtered = batch match {
+      case None => docs
+      case Some(ids) =>
+        val ranges = contiguousRuns(ids).map { case (lo, hi) =>
+          (lo.toLong * segSize, (hi.toLong + 1L) * segSize)
+        }
+        docs.filter(ranges.map { case (lo, hi) => $"docId" >= lo && $"docId" < hi }
+          .reduce(_ || _))
     }
-    val pred = ranges.map { case (lo, hi) => $"docId" >= lo && $"docId" < hi }
-      .reduce(_ || _)
 
     // analyze ONCE per doc; both consumers read the persisted result
-    val analyzed = docs.filter(pred).map { d =>
+    val analyzed = filtered.map { d =>
       val a = Analyzer.analyze(d.content)
       AnalyzedDoc(
         segId = (d.docId / segSize).toInt, docId = d.docId,
@@ -225,7 +245,8 @@ object IndexBuilder {
       // term (k-way docId merge). Output rows leave the task already
       // term-sorted, so the write needs no further exchange and parquet
       // min/max stats on `term` stay sharp (SURVEY.md §4.2).
-      val numParts = math.max(1, batch.size)
+      val numParts = batch.map(b => math.max(1, b.size))
+        .getOrElse(spark.sessionState.conf.numShufflePartitions * 4)
       val segRows = runs
         .repartition(numParts, $"segId")
         .sortWithinPartitions("segId", "term", "salt")
@@ -292,7 +313,8 @@ object IndexBuilder {
         .toMap)
 
       // promote staging -> final, then commit the manifest (the commit point)
-      batch.foreach { segId =>
+      val toCommit = batch.getOrElse((segAgg.keySet ++ docAgg.keySet).toSeq.sorted)
+      toCommit.foreach { segId =>
         val (rowsN, bytesN, digest) = segAgg.get(segId)
           .map(t => (t._2, t._3, t._4)).getOrElse((0L, 0L, "0" * 32))
         val (docCount, lo, hi, rawLenSum) = docAgg.getOrElse(segId,

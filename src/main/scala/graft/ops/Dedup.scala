@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data deduplication operators, Spark-first.
+  *
+  * All of these shuffle on content-derived keys (sha / LSH bucket), never on
+  * the raw corpus: at 100 TB the only wide exchanges move hashes,
+  * signatures, and candidate id pairs. Verification joins fetch shingle
+  * sets for the (tiny) candidate set only.
+  */
+object Dedup {
+
+  /** word tokens for dedup: lowercased \w+ runs (NO stop removal — dedup
+    * compares raw surface text, unlike the search analyzer) */
+  def words(text: String): Array[String] = {
+    val m = java.util.regex.Pattern.compile("\\w+").matcher(
+      text.toLowerCase(java.util.Locale.ROOT))
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** distinct word n-gram shingles, space-joined */
+  def shingles(text: String, n: Int = 3): Array[String] = {
+    val w = words(text)
+    if (w.length < n) Array.empty
+    else w.sliding(n).map(_.mkString(" ")).toArray.distinct.sorted
+  }
+
+  /** 64-bit string hash (FNV-1a over UTF-16 code units, then avalanche) */
+  def hashString(seed: Long, s: String): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
+  /** Exact dedup (hash-groupBy): every row mapped to the minimal id sharing
+    * its sha256(text). One shuffle on sha. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("sha"))
+    df.select(col(idCol).cast("long").as("id"), sha2(col(textCol), 256).as("sha"))
+      .withColumn("canonical_id", min(col("id")).over(w))
+      .select(col("id"), col("canonical_id"), col("sha"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs (shingle -> minhash -> band ->
+    * bucket-join -> exact-Jaccard verify).
+    *
+    * k = bands * rowsPerBand hash functions; a pair collides in a band with
+    * probability j^rowsPerBand, so P(candidate) = 1-(1-j^r)^bands. Defaults
+    * (20 bands x 3 rows) catch j>=0.8 with miss probability ~6e-7. The
+    * exact verify keeps precision at 1.0, so output == exhaustive pairs
+    * above the threshold (the DuckDB oracle computes the exhaustive set). */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double = 0.7, bands: Int = 20, rowsPerBand: Int = 3,
+                   shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = bands * rowsPerBand
+
+    val docs: Dataset[(Long, Array[String], Array[Long])] = df
+      .select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingles(text, shingleSize)
+        val sig = Array.fill(k)(Long.MaxValue)
+        sh.foreach { s =>
+          val base = hashString(seed, s)
+          var i = 0
+          while (i < k) {
+            // per-function permutation: avalanche of (base, i)
+            val h = graft.corpus.SynthCorpus.hash64(seed + i, base, 0L)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        (id, sh, sig)
+      }
+    // two consumers (band rows, verify sets) recompute the narrow shingle
+    // map rather than pinning a corpus-sized cache (returned DF stays lazy)
+    val bandRows = docs.filter(_._2.nonEmpty).flatMap { case (id, _, sig) =>
+        (0 until bands).iterator.map { b =>
+          var h = seed
+          var i = b * rowsPerBand
+          while (i < (b + 1) * rowsPerBand) {
+            h = graft.corpus.SynthCorpus.hash64(h, sig(i), i.toLong)
+            i += 1
+          }
+          (b, h, id)
+        }
+    }.toDF("band", "bucket", "id")
+
+    val candidates = bandRows.as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._3).toArray.sorted
+        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }
+      .distinct()
+      .toDF("id_a", "id_b")
+
+    val sets = docs.map { case (id, sh, _) => (id, sh) }.toDF("id", "sh")
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tf-weighted word hashes. */
+  def simhash64(text: String, seed: Long = 7L): Long = {
+    val acc = new Array[Int](64)
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    words(text).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+    counts.foreach { case (w, c) =>
+      val h = hashString(seed, w)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += c else acc(j) -= c
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              seed: Long = 7L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, f"${simhash64(t, seed)}%016x") }
+      .toDF("id", "simhash")
+  }
+
+  /** SimHash near-dup pairs: pigeonhole blocking on 16-bit chunks (a pair
+    * within hamming distance <= 3 shares at least one of 4 chunks), then
+    * exact hamming verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, seed: Long = 7L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, t) => (id, simhash64(t, seed)) }
+    val blocked = sigs.flatMap { case (id, sig) =>
+      (0 until 4).iterator.map(c => (c, (sig >>> (16 * c)) & 0xffffL, id, sig))
+    }
+    blocked.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_, it) =>
+        val xs = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
+        for {
+          i <- xs.indices.iterator
+          j <- (i + 1) until xs.length
+          d = java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2)
+          if d <= maxHamming
+        } yield (xs(i)._1, xs(j)._1, d)
+      }
+      .distinct()
+      .toDF("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting. All
+  * narrow (per-row) transforms — they scale embarrassingly; every formula
+  * is pinned so the DuckDB oracle reproduces it bit-for-bit.
+  */
+object TextQuality {
+
+  /** half-up 4-decimal rounding for non-negative doubles (== SQL round(x,4)) */
+  @inline private def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
+  /** token counts three ways: whitespace runs, word (\w+) tokens, and a
+    * BPE-ish segmentation (letter runs | 1-3 digit groups | single symbol) */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      size(expr(s"regexp_extract_all($textCol, '\\\\S+', 0)")).cast("long").as("ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '\\\\w+', 0)")).cast("long").as("word_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\\\s]', 0)"))
+        .cast("long").as("bpe_ish_tokens"))
+
+  /** quality metrics + composite score (single-expression double math so
+    * Spark and DuckDB agree to the last bit before rounding):
+    * score = 0.4*min(tokens/100,1) + 0.3*(1-stop_ratio) + 0.3*alpha_ratio */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = Dedup.words(text)
+        val n = ws.length
+        val stops = ws.count(Analyzer.StopWords.contains)
+        // ASCII word-char class, matching the SQL oracle's [A-Za-z0-9_]
+        val alpha = text.count(c => (c >= 'a' && c <= 'z') ||
+          (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_')
+        val stopRatio = if (n == 0) 0.0 else stops.toDouble / n
+        val alphaRatio = if (text.isEmpty) 0.0 else alpha.toDouble / text.length
+        val score = 0.4 * math.min(n / 100.0, 1.0) + 0.3 * (1.0 - stopRatio) +
+          0.3 * alphaRatio
+        (id, n.toLong, r4(stopRatio), r4(alphaRatio), r4(score))
+      }
+      .toDF("id", "n_tokens", "stop_ratio", "alpha_ratio", "score")
+  }
+
+  /** language-ID heuristic: ratio of English stopwords among word tokens
+    * (>= 0.05 -> 'en', nonzero tokens below -> 'other', empty -> 'unknown') */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = Dedup.words(text)
+        val n = ws.length
+        val stops = ws.count(Analyzer.StopWords.contains)
+        val ratio = if (n == 0) 0.0 else stops.toDouble / n
+        val pred = if (n == 0) "unknown" else if (ratio >= 0.05) "en" else "other"
+        (id, r4(ratio), pred)
+      }
+      .toDF("id", "en_stop_ratio", "lang_pred")
+  }
+
+  /** document fingerprint: min sha256 over sliding word w-grams (winnowing
+    * with a crypto hash — deterministic and SQL-reproducible); documents
+    * shorter than w words fingerprint their full word sequence */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = Dedup.words(text)
+        val windows =
+          if (ws.isEmpty) Iterator(("" /* empty doc sentinel */))
+          else if (ws.length <= w) Iterator(ws.mkString(" "))
+          else ws.sliding(w).map(_.mkString(" "))
+        val fp = windows.map(graft.build.IndexBuilder.sha256Hex).min
+        (id, fp)
+      }
+      .toDF("id", "fingerprint")
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.FileSystem
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.corpus.CorpusSource
+import graft.model.{CorpusRow, IndexStats}
+
+/** Micro-batch ingestion (SURVEY.md §2.9): the reference's incremental
+  * `put_document` stream is honestly a sequence of writer commits appending
+  * immutable segments ([R] cockatrice/indexer.py via Raft log -> Whoosh
+  * writer). Spark-native mapping: Structured Streaming `foreachBatch`, each
+  * micro-batch appended as NEW segments in fresh docId/segId ranges, with
+  * periodic hierarchical compaction (Merger) exactly like the reference's
+  * merge policy. No watermark/event-time semantics exist to replicate.
+  *
+  * docId layout: every append starts at the next segment boundary
+  * (docIdBase = (maxSegId+1) * segSize). Gaps in docId space are harmless —
+  * N and avgfl come from manifest doc counts, never from max docId.
+  */
+object StreamingIngest {
+
+  /** Append a static batch of new documents as fresh segments. */
+  def append(spark: SparkSession, batch: Dataset[CorpusRow], indexDir: String,
+             cfg: IndexConfig = IndexConfig()): IndexStats = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val existing = IndexBuilder.readManifests(fs, indexDir)
+    val (segIdBase, segSize) =
+      if (existing.isEmpty) (0, cfg.segSize)
+      else (existing.map(_.segId).max + 1, IndexBuilder.readStats(fs, indexDir).segSize)
+    val docIdBase = segIdBase.toLong * segSize
+
+    val n = batch.count()
+    if (n == 0) return IndexBuilder.readStats(fs, indexDir)
+    val numNewSegs = ((n + segSize - 1) / segSize).toInt
+    val newSegs = segIdBase until (segIdBase + numNewSegs)
+
+    // stamp within the batch (D1 rank), then shift into the fresh range
+    val stamped = IndexBuilder.stampDocIds(batch, cfg.sortPartitions)
+      .map(d => d.copy(docId = d.docId + docIdBase))
+
+    newSegs.grouped(cfg.segmentsPerBatch).foreach { group =>
+      IndexBuilder.buildBatchForAppend(spark, fs, stamped, indexDir, group,
+        cfg.copy(segSize = segSize))
+    }
+
+    val manifests = IndexBuilder.readManifests(fs, indexDir)
+    val stats = IndexStats(
+      numDocs = manifests.map(_.docCount).sum,
+      totalFieldLen = manifests.map(_.rawLenSum).sum,
+      numSegments = manifests.size,
+      segSize = segSize)
+    IndexBuilder.writeLexicon(spark, indexDir)
+    IndexBuilder.writeStats(fs, indexDir, stats)
+    stats
+  }
+
+  /** Start a streaming ingest: every micro-batch commits new segments;
+    * every `compactEvery` batches, adjacent segments are merged (the
+    * reference's MERGE_SMALL policy analog). */
+  def start(spark: SparkSession, stream: Dataset[CorpusRow], indexDir: String,
+            checkpointDir: String, cfg: IndexConfig = IndexConfig(),
+            compactEvery: Int = 0, groupSize: Int = 8,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[CorpusRow], batchId: Long) =>
+        append(spark, batch, indexDir, cfg)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.merge.Merger.compact(spark, indexDir, groupSize)
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.corpus.CorpusSource
+import graft.search.Searcher
+
+/** Physical-plan inspection (SURVEY.md §4.2 evidence): prints
+  * explain("formatted") for the query path so pushdown / pruning /
+  * exchange structure is reviewable. Not part of the driver contract. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ix = "/tmp/graft-plans-ix"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(ix), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(ix, "stats.json"))) {
+      IndexBuilder.build(spark, CorpusSource.synth(spark, 20000, 42L, 8), ix,
+        IndexConfig(segSize = 2048))
+    }
+    val handle = Searcher.open(spark, ix)
+
+    println("==== lexicon df lookup plan (expect PushedFilters: In(term, ...)) ====")
+    handle.lexicon.filter(org.apache.spark.sql.functions.col("term")
+      .isin("w0001", "w0042")).explain("formatted")
+
+    println("==== segment scan for query terms (expect pushed In + pruned ReadSchema) ====")
+    handle.segments.filter(org.apache.spark.sql.functions.col("term")
+      .isin("w0001", "w0042"))
+      .select("term", "df", "maxTf", "blocks", "segId").explain("formatted")
+
+    println("==== full search plan (kernel + TakeOrderedAndProject) ====")
+    Searcher.search(spark, handle, "w0001 OR w0042", 10).explain("formatted")
+
+    spark.stop()
+  }
+}

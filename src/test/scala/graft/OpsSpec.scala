@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.SynthCorpus
+import graft.ops.{Dedup, Similarity, TextQuality}
+
+/** Training-data operators: LSH completeness vs exhaustive ground truth,
+  * ANN recall, and pinned text-metric semantics. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  // corpus with planted near-duplicates: pairs (i, i+100) share most text
+  private def dupDocs(n: Int = 120): Seq[(Long, String)] = {
+    val base = (0 until n).map(i => SynthCorpus.doc(21L, i.toLong))
+    val planted = (0 until 20).map { i =>
+      // near-dup of doc i: drop the last 2 words, append 2 new ones
+      val w = base(i).split(' ')
+      (n + i).toLong -> (w.dropRight(2).mkString(" ") + " zz yy")
+    }
+    base.zipWithIndex.map { case (d, i) => (i.toLong, d) } ++ planted
+  }
+
+  private def exhaustivePairs(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    val sh = docs.map { case (id, d) => (id, Dedup.shingles(d).toSet) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sh
+      (b, sb) <- sh
+      if a < b
+      j = (sa & sb).size.toDouble / (sa | sb).size
+      if j >= t
+    } yield (a, b, math.floor(j * 1e4 + 0.5) / 1e4)).toSet
+  }
+
+  test("minhash LSH pairs == exhaustive jaccard pairs (planted near-dups)") {
+    import spark.implicits._
+    val docs = dupDocs()
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = exhaustivePairs(docs, 0.7)
+    assert(want.size >= 20, s"expected planted pairs, got ${want.size}")
+    assert(got == want, s"LSH=${got.size} exhaustive=${want.size}\n missing=${want -- got}\n extra=${got -- want}")
+  }
+
+  test("exact dedup canonicalizes planted exact duplicates") {
+    import spark.implicits._
+    val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta", 2L -> "alpha beta gamma")
+    val out = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 0L))
+  }
+
+  test("simhash: near-dups land within small hamming distance") {
+    import spark.implicits._
+    val docs = dupDocs()
+    val pairs = Dedup.simhashPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+      maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (i, i+120) pair should be found
+    val planted = (0 until 20).map(i => (i.toLong, (120 + i).toLong)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
+  }
+
+  test("srp ANN finds planted near-neighbors; recall vs brute force") {
+    import spark.implicits._
+    // clustered vectors: 20 bases x 10 noisy copies
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 1000L).toFloat / 1000f
+    }
+    val rows = for (b <- 0 until 20; c <- 0 until 10) yield {
+      val base = vec(100L + b, 32)
+      val noisy = base.zipWithIndex.map { case (x, j) =>
+        x + (SynthCorpus.hash64(200L + b, c.toLong, j.toLong) % 100L).toFloat / 2000f
+      }
+      ((b * 10 + c).toLong, noisy)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.srpTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall, exact=$exact approx=$approx")
+    // exact top-10 should be the query's own cluster (ids 0..9)
+    assert(exact == (0 until 10).map(_.toLong).toSet)
+  }
+
+  test("text quality metrics pinned semantics") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat sat on the mat... 123 ab_c!")).toDF("doc_id", "text")
+    val q = TextQuality.qualityScore(df, "doc_id", "text").collect()(0)
+    // words: the cat sat on the mat 123 ab_c -> 8 tokens, stops: the,on,the -> 3
+    assert(q.getLong(1) == 8)
+    assert(q.getDouble(2) == 0.375) // stop_ratio
+    val t = TextQuality.tokenCounts(df, "doc_id", "text").collect()(0)
+    assert(t.getLong(1) == 8)  // ws tokens
+    assert(t.getLong(2) == 8)  // word tokens
+    val l = TextQuality.langId(df, "doc_id", "text").collect()(0)
+    assert(l.getString(2) == "en")
+    val f = TextQuality.fingerprint(df, "doc_id", "text").collect()(0)
+    assert(f.getString(1).length == 64)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.corpus.SynthCorpus
+import graft.model.CorpusRow
+import graft.ref.RefModel
+import graft.search.Searcher
+import graft.streaming.StreamingIngest
+
+/** Structured-Streaming micro-batch ingestion (SURVEY.md §2.9): appended
+  * segments + compaction must stay rank-identical to an oracle over the
+  * cumulative corpus with the engine's docId layout. */
+class StreamingIngestSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def mkRows(seed: Long, from: Int, until: Int): Seq[CorpusRow] =
+    (from until until).map { i =>
+      CorpusRow(f"r${i % 5}", f"f$i%05d.txt", f"$i%040x", "text",
+        SynthCorpus.doc(seed, i.toLong))
+    }
+
+  /** replicate the engine's docId layout: per-append D1 rank + base at the
+    * next segment boundary */
+  private def expectedDocs(appends: Seq[Seq[CorpusRow]], segSize: Int): Seq[(Long, String)] = {
+    var segBase = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    appends.foreach { batch =>
+      val docBase = segBase.toLong * segSize
+      batch.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex.foreach {
+        case (r, i) => out += ((docBase + i, r.content))
+      }
+      segBase += ((batch.size + segSize - 1) / segSize)
+    }
+    out.toSeq
+  }
+
+  test("foreachBatch appends + compaction stay oracle-identical") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = SparkTestBase.tmpDir("stream")
+    val ckpt = SparkTestBase.tmpDir("stream-ckpt")
+    val segSize = 16
+    val cfg = IndexConfig(segSize = segSize)
+
+    val batches = Seq(mkRows(3L, 0, 40), mkRows(3L, 40, 75), mkRows(3L, 75, 90))
+    val mem = MemoryStream[CorpusRow]
+    val q = StreamingIngest.start(spark, mem.toDS(), dir, ckpt, cfg,
+      compactEvery = 2, groupSize = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    batches.foreach { b =>
+      mem.addData(b)
+      q.processAllAvailable() // one micro-batch per append (docId layout below)
+    }
+    q.stop()
+
+    val docs = expectedDocs(batches, segSize)
+    val ref = new RefModel(docs)
+    val handle = Searcher.open(spark, dir)
+    assert(handle.stats.numDocs == 90)
+    Seq("w0000", "w0001 AND w0002", "w0003 OR w0004", "\"needle alpha beta\"")
+      .foreach { qs =>
+        val hits = Searcher.search(spark, handle, qs, 10).collect().toSeq
+        val oracle = ref.search(qs, 10)
+        assert(hits.map(_.docId) == oracle.map(_._1), s"'$qs': $hits vs $oracle")
+        hits.zip(oracle).foreach { case (h, (_, s)) =>
+          assert(math.abs(h.score - s) <= 1e-6)
+        }
+      }
+  }
+
+  test("static append API grows an existing batch-built index") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("append")
+    val segSize = 16
+    val base = mkRows(5L, 0, 40)
+    IndexBuilder.build(spark, spark.createDataset(base), dir, IndexConfig(segSize = segSize))
+    val extra = mkRows(5L, 40, 60)
+    val stats = StreamingIngest.append(spark, spark.createDataset(extra), dir,
+      IndexConfig(segSize = segSize))
+    assert(stats.numDocs == 60)
+
+    val docs = expectedDocs(Seq(base, extra), segSize)
+    val ref = new RefModel(docs)
+    val handle = Searcher.open(spark, dir)
+    val hits = Searcher.search(spark, handle, "w0000", 10).collect().toSeq
+    val oracle = ref.search("w0000", 10)
+    assert(hits.map(_.docId) == oracle.map(_._1))
+  }
+}
