@@ -51,16 +51,36 @@ object Analyzer extends Serializable {
   final case class Analyzed(fieldLen: Int, terms: Array[(String, Array[Int])])
 
   def analyze(text: String): Analyzed = {
-    val toks = tokenize(text)
-    val byTerm = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Int]]
-    toks.foreach { t =>
-      byTerm.getOrElseUpdate(t.term, mutable.ArrayBuffer.empty[Int]) += t.pos
+    // allocation-lean single pass: parallel term/pos arrays, index sort by
+    // term (stable -> positions stay ascending), group consecutive equals
+    val terms = mutable.ArrayBuffer.empty[String]
+    val poss = mutable.ArrayBuffer.empty[Int]
+    val m = TokenPattern.matcher(text)
+    var pos = 0
+    while (m.find()) {
+      val t = m.group().toLowerCase(java.util.Locale.ROOT)
+      if (t.length >= MinSize && !StopWords.contains(t)) {
+        terms += t
+        poss += pos
+      }
+      pos += 1
     }
-    // deterministic order: ascending term (segment rows are term-sorted anyway)
-    val arr = byTerm.iterator
-      .map { case (term, ps) => (term, ps.toArray) }
-      .toArray
-      .sortBy(_._1)
-    Analyzed(toks.length, arr)
+    val n = terms.length
+    if (n == 0) return Analyzed(0, Array.empty)
+    val idx = Array.range(0, n)
+    scala.util.Sorting.stableSort[Int](idx, (a: Int, b: Int) => terms(a) < terms(b))
+    val out = mutable.ArrayBuffer.empty[(String, Array[Int])]
+    var i = 0
+    while (i < n) {
+      val t = terms(idx(i))
+      var j = i + 1
+      while (j < n && terms(idx(j)) == t) j += 1
+      val ps = new Array[Int](j - i)
+      var k = i
+      while (k < j) { ps(k - i) = poss(idx(k)); k += 1 }
+      out += ((t, ps))
+      i = j
+    }
+    Analyzed(n, out.toArray)
   }
 }

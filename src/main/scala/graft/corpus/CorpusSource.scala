@@ -85,7 +85,13 @@ object SynthCorpus extends Serializable {
   private def word(h: Long): String = {
     val u = java.lang.Long.remainderUnsigned(h, 1L << 40).toDouble / (1L << 40).toDouble
     val rank = math.min(9999, (math.pow(10000.0, u) - 1.0).toInt)
-    f"w$rank%04d"
+    val cs = new Array[Char](5)
+    cs(0) = 'w'
+    cs(1) = ('0' + rank / 1000).toChar
+    cs(2) = ('0' + rank / 100 % 10).toChar
+    cs(3) = ('0' + rank / 10 % 10).toChar
+    cs(4) = ('0' + rank % 10).toChar
+    new String(cs)
   }
 
   def hash64(seed: Long, a: Long, b: Long): Long = {

@@ -80,7 +80,10 @@ object Merger {
     }.reduce(_ unionByName _)
     val filtered = if (deletes.isEmpty) docstats
       else docstats.filter(!$"docId".isin(deletes.toSeq: _*))
-    val mergedDocCount = filtered.count()
+    val (mergedDocCount, mergedRawLen) = {
+      val r = filtered.agg(count(lit(1)), sum($"rawLen")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     filtered.withColumn("segId", lit(target))
       .write.mode(SaveMode.Overwrite).partitionBy("segId").parquet(dsStaging)
 
@@ -103,7 +106,7 @@ object Merger {
       docLo = manifests.map(_.docLo).min,
       docHi = manifests.map(_.docHi).max,
       docCount = mergedDocCount,
-      rawLenSum = manifests.map(_.rawLenSum).sum,
+      rawLenSum = mergedRawLen,
       postingRows = -1, postingBytes = -1, // recomputable; not load-bearing
       digest = "merged",
       source = s"merge(${sorted.mkString(",")})")
@@ -112,16 +115,30 @@ object Merger {
   }
 
   /** hierarchical compaction: repeatedly merge adjacent groups of
-    * `groupSize` until one segment remains (reference `optimize_index`). */
-  def compact(spark: SparkSession, indexDir: String, groupSize: Int = 8): Unit = {
+    * `groupSize` until one segment remains (reference `optimize_index`).
+    * With `applyDeletes`, the index's tombstone set is purged during the
+    * merge and cleared once fully compacted (M2). */
+  def compact(spark: SparkSession, indexDir: String, groupSize: Int = 8,
+              applyDeletes: Boolean = false): Unit = {
     require(groupSize >= 2)
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
+    val dels = if (applyDeletes) graft.build.Deletes.read(spark, indexDir) else Set.empty[Long]
     var ids = IndexBuilder.readManifests(fs, indexDir).map(_.segId)
     while (ids.size > 1) {
       ids = ids.sorted.grouped(groupSize).map { g =>
-        if (g.size == 1) g.head else mergeGroup(spark, indexDir, g)
+        if (g.size == 1) g.head else mergeGroup(spark, indexDir, g, dels)
       }.toSeq
+    }
+    if (applyDeletes && dels.nonEmpty) {
+      // stats refresh after physical purge (N/avgfl shrink with the purge)
+      val manifests = IndexBuilder.readManifests(fs, indexDir)
+      val st = IndexBuilder.readStats(fs, indexDir)
+      IndexBuilder.writeStats(fs, indexDir, st.copy(
+        numDocs = manifests.map(_.docCount).sum,
+        totalFieldLen = manifests.map(_.rawLenSum).sum))
+      IndexBuilder.writeLexicon(spark, indexDir)
+      graft.build.Deletes.clear(spark, indexDir)
     }
   }
 }

@@ -89,35 +89,39 @@ object Kernel {
   }
 
   /** Segment top-k. `prune = false` forces exhaustive evaluation (the
-    * WAND-equivalence property-test path). */
+    * WAND-equivalence property-test path). `deleted` hides tombstoned docs
+    * at query time (S6) — they are purged physically only at merge. */
   def topK(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
-           k: Int, prune: Boolean = true): Array[Hit] = {
+           k: Int, prune: Boolean = true,
+           deleted: Long => Boolean = NoDeletes): Array[Hit] = {
     val heap = new TopK(k)
     q match {
       case QOr(cs) if prune =>
         val ms = cs.map(buildMatcher(_, lists, stats)).filterNot(_ eq EmptyMatcher)
-        if (ms.nonEmpty) wandOr(ms.toArray, heap)
+        if (ms.nonEmpty) wandOr(ms.toArray, heap, deleted)
       case QTerm(_) if prune =>
         buildMatcher(q, lists, stats) match {
-          case tm: TermMatcher => singleTerm(tm, heap)
+          case tm: TermMatcher => singleTerm(tm, heap, deleted)
           case _               => ()
         }
       case _ =>
         val m = buildMatcher(q, lists, stats)
         while (m.docId != Long.MaxValue) {
-          heap.offer(m.docId, m.score)
+          if (!deleted(m.docId)) heap.offer(m.docId, m.score)
           m.advance()
         }
     }
     heap.result
   }
 
+  val NoDeletes: Long => Boolean = _ => false
+
   /** single-list traversal with block-max skipping */
-  private def singleTerm(tm: TermMatcher, heap: TopK): Unit = {
+  private def singleTerm(tm: TermMatcher, heap: TopK, deleted: Long => Boolean): Unit = {
     while (tm.docId != Long.MaxValue) {
       if (tm.currentUpperBound < heap.threshold) tm.skipCurrentBlock()
       else {
-        heap.offer(tm.docId, tm.score)
+        if (!deleted(tm.docId)) heap.offer(tm.docId, tm.score)
         tm.advance()
       }
     }
@@ -125,7 +129,8 @@ object Kernel {
 
   /** WAND over the children of an OR root. Children are summed in tree
     * order at evaluation (FP-order identical to RefModel). */
-  private def wandOr(children: Array[Matcher], heap: TopK): Unit = {
+  private def wandOr(children: Array[Matcher], heap: TopK,
+                     deleted: Long => Boolean): Unit = {
     val n = children.length
     val order = children.indices.toArray // re-sorted by head docId each round
     var done = false
@@ -157,7 +162,7 @@ object Kernel {
               if (children(j).docId == pivot) ub += children(j).currentUpperBound
               j += 1
             }
-            if (ub >= theta) {
+            if (ub >= theta && !deleted(pivot)) {
               var s = 0.0
               var m = 0
               while (m < n) { // tree order for FP determinism

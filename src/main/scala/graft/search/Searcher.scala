@@ -26,10 +26,12 @@ object Searcher {
   final case class SearchHit(docId: Long, score: Double)
 
   /** Opened once per index: corpus stats, the segment/lexicon relations
-    * (file listing + partition discovery happen here, NOT per query), and a
-    * df memo (the index is immutable under a handle). */
+    * (file listing + partition discovery happen here, NOT per query), the
+    * live deletion set (S6), and a df memo (the index is immutable under a
+    * handle). */
   final class IndexHandle(val indexDir: String, val stats: BM25.CorpusStats,
-                          val segments: DataFrame, val lexicon: DataFrame) {
+                          val segments: DataFrame, val lexicon: DataFrame,
+                          val deletes: Set[Long]) {
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
 
@@ -39,7 +41,8 @@ object Searcher {
     val st = IndexBuilder.readStats(fs, indexDir)
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
       spark.read.parquet(IndexBuilder.segmentsDir(indexDir)),
-      spark.read.parquet(IndexBuilder.lexiconDir(indexDir)))
+      spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
+      graft.build.Deletes.read(spark, indexDir))
   }
 
   /** global df for the query's terms: one pruned lexicon scan for the
@@ -81,6 +84,7 @@ object Searcher {
     val kLocal = k
     val pruneLocal = prune
     val qLocal = q
+    val dels = handle.deletes
 
     val rows = handle.segments
       .filter($"term".isin(terms.toSeq: _*))
@@ -93,13 +97,26 @@ object Searcher {
         val lists = it.map { r =>
           r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
         }.toMap
-        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal)
+        val deleted: Long => Boolean =
+          if (dels.isEmpty) Kernel.NoDeletes else dels.contains
+        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal, deleted)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }
 
     // global top-k: Catalyst plans TakeOrderedAndProject over the tiny
     // per-segment candidate set
     perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+
+  /** Paged top-k (Q7: the reference's search_page(q, page_num, page_len),
+    * default page_len 10): collect the first pageNum*pageLen hits, return
+    * the requested page. */
+  def searchPage(spark: SparkSession, handle: IndexHandle, query: String,
+                 pageNum: Int = 1, pageLen: Int = 10): Seq[SearchHit] = {
+    require(pageNum >= 1 && pageLen >= 1)
+    search(spark, handle, query, pageNum * pageLen)
+      .collect().toSeq
+      .slice((pageNum - 1) * pageLen, pageNum * pageLen)
   }
 
   /** hits + stored fields (Q8): broadcast semi-join of the <=k ids against

@@ -178,6 +178,40 @@ class SparkIndexSpec extends AnyFunSuite {
     assertSearchesMatchOracle(dir, docs, queries)
   }
 
+  test("deletion lifecycle: query-time tombstones, purge at compact, stats refresh") {
+    import spark.implicits._
+    val rows = (0 until 80).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(17L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("dels")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 24))
+    val dels = Set(2L, 10L, 41L)
+    graft.build.Deletes.add(spark, dir, dels.toSeq)
+
+    // tombstones hidden at query time (stats still pre-delete, like the
+    // reference before optimize)
+    val h1 = Searcher.open(spark, dir)
+    assert(h1.deletes == dels)
+    val hits1 = Searcher.search(spark, h1, "w0000", 100).collect()
+    assert(hits1.nonEmpty && hits1.map(_.docId).toSet.intersect(dels).isEmpty)
+
+    // paged search agrees with a single big top-k
+    val all = Searcher.search(spark, h1, "w0000", 30).collect().toSeq
+    val page2 = Searcher.searchPage(spark, h1, "w0000", pageNum = 2, pageLen = 10)
+    assert(page2 == all.slice(10, 20))
+
+    // physical purge at compaction + stats refresh -> rank-identical to an
+    // oracle over the surviving docs (original docIds)
+    Merger.compact(spark, dir, groupSize = 2, applyDeletes = true)
+    val survivors = refDocs(rows).filterNot { case (id, _) => dels.contains(id) }
+    assertSearchesMatchOracle(dir, survivors,
+      Seq("d1" -> "w0000", "d2" -> "w0001 OR w0002", "d3" -> "w0003 AND w0004"))
+    val h2 = Searcher.open(spark, dir)
+    assert(h2.stats.numDocs == 77)
+    assert(h2.deletes.isEmpty)
+  }
+
   test("merge with deletes purges tombstoned docs") {
     import spark.implicits._
     val rows = (0 until 60).map { i =>
