@@ -120,6 +120,8 @@ object SparkEntry {
     "ft_topk_mixed" -> ((s, dir) => topk(s, dir, "batch AND \"window window\"")),
     // Q6: NOT
     "ft_topk_not" -> ((s, dir) => topk(s, dir, "merge NOT join")),
+    // stretch: prefix query (lexicon-expanded multiterm OR)
+    "ft_topk_prefix" -> ((s, dir) => topk(s, dir, "s*")),
     // S3/S5: segment manifests (rows-only check: lineage + counts exist)
     "ft_segments" -> ((s, dir) => {
       import s.implicits._
@@ -297,6 +299,10 @@ object SparkEntry {
       """SELECT docid, s AS score FROM contrib WHERE term = 'merge'
         | AND docid NOT IN (SELECT docid FROM contrib WHERE term = 'join')"""
         .stripMargin.replace("\n", " "))),
+
+    "ft_topk_prefix" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib WHERE term LIKE 's%'
+        | GROUP BY docid""".stripMargin.replace("\n", " "))),
 
     // ---- training-data ops (documents / embeddings tables) ----
     "dd_exact" ->

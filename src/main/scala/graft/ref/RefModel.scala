@@ -35,9 +35,14 @@ final class RefModel(docs: Seq[(Long, String)]) {
   def idf(term: String): Double = BM25.idf(df(term), numDocs)
   private def fl(docId: Long): Int = LengthByte.roundtrip(rawLen(docId))
 
+  private lazy val sortedTerms: Seq[String] = postings.keys.toSeq.sorted
+  /** prefix expansion against the oracle's own lexicon (ascending terms) */
+  def prefixLookup(p: String): Seq[String] = sortedTerms.filter(_.startsWith(p))
+
   /** score of query q at doc, None if the doc doesn't match */
   def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
     case QEmpty => None
+    case p: QPrefix => scoreDoc(QueryRewrite.expandPrefixes(p, prefixLookup), docId)
     case QTerm(t) =>
       postings.get(t).flatMap(_.get(docId)).map { ps =>
         BM25.score(idf(t), ps.length, fl(docId), stats.avgFieldLen)
@@ -75,12 +80,14 @@ final class RefModel(docs: Seq[(Long, String)]) {
   }
 
   /** exhaustive top-k, tie rule (score desc, docId asc) — D4 */
-  def search(q: Q, k: Int): Seq[(Long, Double)] =
+  def search(q0: Q, k: Int): Seq[(Long, Double)] = {
+    val q = if (q0.hasPrefix) QueryRewrite.expandPrefixes(q0, prefixLookup) else q0
     docs.iterator
       .flatMap { case (d, _) => scoreDoc(q, d).map(s => (d, s)) }
       .toSeq
       .sortBy { case (d, s) => (-s, d) }
       .take(k)
+  }
 
   def search(query: String, k: Int): Seq[(Long, Double)] =
     search(QueryParser.parse(query), k)

@@ -10,14 +10,23 @@ import graft.analysis.Analyzer
   * phrase spanning a dropped stopword requires the original gap (q12).
   */
 sealed trait Q extends Serializable {
-  /** all leaf terms mentioned (for posting-list pruning) */
+  /** all leaf terms mentioned (for posting-list pruning); prefixes must be
+    * expanded (QueryRewrite) before this is meaningful */
   def terms: Set[String] = this match {
     case QTerm(t)        => Set(t)
     case QPhrase(ts)     => ts.map(_._1).toSet
     case QAnd(cs)        => cs.flatMap(_.terms).toSet
     case QOr(cs)         => cs.flatMap(_.terms).toSet
     case QNot(p, n)      => p.terms ++ n.terms
+    case QPrefix(_)      => Set.empty
     case QEmpty          => Set.empty
+  }
+  def hasPrefix: Boolean = this match {
+    case QPrefix(_) => true
+    case QAnd(cs)   => cs.exists(_.hasPrefix)
+    case QOr(cs)    => cs.exists(_.hasPrefix)
+    case QNot(p, n) => p.hasPrefix || n.hasPrefix
+    case _          => false
   }
 }
 final case class QTerm(term: String) extends Q
@@ -28,7 +37,39 @@ final case class QAnd(cs: List[Q]) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
 final case class QNot(positive: Q, negative: Q) extends Q
+/** `foo*`: expanded to an OR over the first MaxExpand lexicon terms with
+  * the prefix (Whoosh Prefix analog, SURVEY.md §2.6 stretch set); pinned
+  * expansion order = ascending term. */
+final case class QPrefix(prefix: String) extends Q
+object QPrefix { final val MaxExpand = 128 }
 case object QEmpty extends Q
+
+object QueryRewrite {
+  /** expand every QPrefix against a (sorted-unique) global term source */
+  def expandPrefixes(q: Q, lookup: String => Seq[String]): Q = q match {
+    case QPrefix(p) =>
+      lookup(p).take(QPrefix.MaxExpand).toList match {
+        case Nil      => QEmpty
+        case t :: Nil => QTerm(t)
+        case ts       => QOr(ts.map(QTerm.apply))
+      }
+    case QAnd(cs) =>
+      val es = cs.map(expandPrefixes(_, lookup))
+      if (es.contains(QEmpty)) QEmpty else QAnd(es)
+    case QOr(cs) =>
+      es2or(cs.map(expandPrefixes(_, lookup)))
+    case QNot(p, n) =>
+      val pe = expandPrefixes(p, lookup)
+      val ne = expandPrefixes(n, lookup)
+      if (pe == QEmpty) QEmpty else if (ne == QEmpty) pe else QNot(pe, ne)
+    case other => other
+  }
+  private def es2or(cs: List[Q]): Q = cs.filterNot(_ == QEmpty) match {
+    case Nil      => QEmpty
+    case c :: Nil => c
+    case xs       => QOr(xs)
+  }
+}
 
 object QueryParser {
 
@@ -113,6 +154,11 @@ object QueryParser {
         val q = orExpr()
         if (peek.contains(RP)) pop()
         q
+      case Word(w) if w.length > 1 && w.endsWith("*") &&
+          !w.init.contains("*") =>
+        // prefix query: lowercase, NOT stop-filtered (reference semantics:
+        // multiterm query text is not run through the full analyzer)
+        QPrefix(w.init.toLowerCase(java.util.Locale.ROOT))
       case Word(w) =>
         Analyzer.tokenize(w).toList match {
           case Nil      => QEmpty // stopword-only -> dropped from group

@@ -72,9 +72,20 @@ object Searcher {
     searchQ(spark, handle, q, k, prune)
   }
 
-  def searchQ(spark: SparkSession, handle: IndexHandle, q: Q, k: Int,
+  def searchQ(spark: SparkSession, handle: IndexHandle, q0: Q, k: Int,
               prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
+    // prefix expansion: one pushed StartsWith scan of the term-sorted
+    // lexicon per prefix, ascending-term order, capped at QPrefix.MaxExpand
+    val q = if (q0.hasPrefix) {
+      QueryRewrite.expandPrefixes(q0, { p =>
+        handle.lexicon
+          .filter($"term".startsWith(p))
+          .orderBy($"term")
+          .limit(QPrefix.MaxExpand)
+          .select($"term").as[String].collect().toSeq
+      })
+    } else q0
     val terms = q.terms
     if (q == QEmpty || terms.isEmpty)
       return spark.emptyDataset[SearchHit]

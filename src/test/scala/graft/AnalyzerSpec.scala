@@ -57,6 +57,8 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(QueryParser.parse("search NOT engine") == QNot(QTerm("search"), QTerm("engine")))
     assert(QueryParser.parse("(search OR engine) AND fast") ==
       QAnd(List(QOr(List(QTerm("search"), QTerm("engine"))), QTerm("fast"))))
+    assert(QueryParser.parse("sea*") == QPrefix("sea"))
+    assert(QueryParser.parse("SEA* AND fast") == QAnd(List(QPrefix("sea"), QTerm("fast"))))
     assert(QueryParser.parse("the a of") == QEmpty)
     assert(QueryParser.parse("") == QEmpty)
     // phrase whose leading token is a stopword: rebase to first survivor

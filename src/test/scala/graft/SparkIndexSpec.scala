@@ -153,7 +153,10 @@ class SparkIndexSpec extends AnyFunSuite {
       "s3" -> "w0003 AND w0007",
       "s4" -> "\"needle alpha beta\"",      // injected phrase
       "s5" -> "w0001 NOT w0000",
-      "s6" -> "(w0004 OR w0005) AND w0002")
+      "s6" -> "(w0004 OR w0005) AND w0002",
+      "s7" -> "w000*",                      // prefix: lexicon expansion
+      "s8" -> "w000* AND w0100",
+      "s9" -> "need* OR w9999")
     assertSearchesMatchOracle(dir, docs, queries)
   }
 
