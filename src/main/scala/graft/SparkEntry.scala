@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.IndexBuilder
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
-import graft.ops.{Dedup, Similarity, TextQuality}
+import graft.ops.{Dedup, Multimodal, Similarity, TextQuality}
 import graft.search.Searcher
 
 /** Driver contract — one `queries` entry per implemented operator
@@ -168,7 +168,16 @@ object SparkEntry {
     "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
     "ql_quality" -> ((s, dir) => TextQuality.qualityScore(docsTable(s, dir), "doc_id", "text")),
     "ql_lang" -> ((s, dir) => TextQuality.langId(docsTable(s, dir), "doc_id", "text")),
-    "ql_fingerprint" -> ((s, dir) => TextQuality.fingerprint(docsTable(s, dir), "doc_id", "text"))
+    "ql_fingerprint" -> ((s, dir) => TextQuality.fingerprint(docsTable(s, dir), "doc_id", "text")),
+    // multimodal plumbing: binary payload column -> batched feature extract
+    // (decode step is a deterministic stub; rows-only check)
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractFeatures(
+        Multimodal.fakeMediaTable(docsTable(s, dir), "doc_id", "text"))
+        .map(f => (f.id, f.kind, f.byteLen, f.features.length))
+        .toDF("id", "kind", "byte_len", "feature_dim")
+    })
   )
 
   private def docsTable(s: SparkSession, sfDir: String): DataFrame =

@@ -90,6 +90,21 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == (0 until 10).map(_.toLong).toSet)
   }
 
+  test("multimodal plumbing: binary payloads -> deterministic stub features") {
+    import spark.implicits._
+    val df = Seq((0L, "hello world"), (1L, ""), (2L, "abc")).toDF("doc_id", "text")
+    val media = graft.ops.Multimodal.fakeMediaTable(df, "doc_id", "text")
+    val feats = graft.ops.Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(feats.length == 3)
+    assert(feats.forall(_.features.length == 16))
+    assert(feats(0).byteLen == 11)
+    assert(math.abs(feats(0).features.sum - 1f) < 1e-5) // unit L1 mass
+    assert(feats(1).features.forall(_ == 0f)) // empty payload
+    val resized = graft.ops.Multimodal.resize(media, 32, 32).collect()
+    assert(resized.forall(r => r.width == 32 && r.height == 32))
+    assert(resized.map(_.media.length).sum == feats.map(_.byteLen).sum)
+  }
+
   test("text quality metrics pinned semantics") {
     import spark.implicits._
     val df = Seq((1L, "The cat sat on the mat... 123 ab_c!")).toDF("doc_id", "text")
