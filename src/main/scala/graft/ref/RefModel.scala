@@ -36,13 +36,13 @@ final class RefModel(docs: Seq[(Long, String)]) {
   private def fl(docId: Long): Int = LengthByte.roundtrip(rawLen(docId))
 
   private lazy val sortedTerms: Seq[String] = postings.keys.toSeq.sorted
-  /** prefix expansion against the oracle's own lexicon (ascending terms) */
-  def prefixLookup(p: String): Seq[String] = sortedTerms.filter(_.startsWith(p))
+  /** multiterm expansion against the oracle's own lexicon (ascending terms) */
+  def prefixLookup(mq: QMulti): Seq[String] = sortedTerms.filter(mq.matches)
 
   /** score of query q at doc, None if the doc doesn't match */
   def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
     case QEmpty => None
-    case p: QPrefix => scoreDoc(QueryRewrite.expandPrefixes(p, prefixLookup), docId)
+    case mq: QMulti => scoreDoc(QueryRewrite.expandPrefixes(mq, prefixLookup), docId)
     case QTerm(t) =>
       postings.get(t).flatMap(_.get(docId)).map { ps =>
         BM25.score(idf(t), ps.length, fl(docId), stats.avgFieldLen)

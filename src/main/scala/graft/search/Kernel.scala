@@ -54,8 +54,8 @@ object Kernel {
   def buildMatcher(q: Q, lists: Map[String, TermList],
                    stats: BM25.CorpusStats): Matcher = q match {
     case QEmpty => EmptyMatcher
-    case QPrefix(p) => // expansion is GLOBAL (driver-side, lexicon order)
-      throw new IllegalStateException(s"unexpanded prefix query: $p*")
+    case mq: QMulti => // expansion is GLOBAL (driver-side, lexicon order)
+      throw new IllegalStateException(s"unexpanded multiterm query: $mq")
     case QTerm(t) =>
       lists.get(t) match {
         case Some(tl) =>

@@ -18,11 +18,11 @@ sealed trait Q extends Serializable {
     case QAnd(cs)        => cs.flatMap(_.terms).toSet
     case QOr(cs)         => cs.flatMap(_.terms).toSet
     case QNot(p, n)      => p.terms ++ n.terms
-    case QPrefix(_)      => Set.empty
+    case _: QMulti       => Set.empty
     case QEmpty          => Set.empty
   }
   def hasPrefix: Boolean = this match {
-    case QPrefix(_) => true
+    case _: QMulti  => true
     case QAnd(cs)   => cs.exists(_.hasPrefix)
     case QOr(cs)    => cs.exists(_.hasPrefix)
     case QNot(p, n) => p.hasPrefix || n.hasPrefix
@@ -37,30 +37,99 @@ final case class QAnd(cs: List[Q]) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
 final case class QNot(positive: Q, negative: Q) extends Q
-/** `foo*`: expanded to an OR over the first MaxExpand lexicon terms with
-  * the prefix (Whoosh Prefix analog, SURVEY.md §2.6 stretch set); pinned
-  * expansion order = ascending term. */
-final case class QPrefix(prefix: String) extends Q
-object QPrefix { final val MaxExpand = 128 }
+/** Multiterm queries (the reference surface beyond the pinned set —
+  * SURVEY.md §2.6 "Prefix, Wildcard, FuzzyTerm, TermRange"): each expands
+  * driver-side against the global lexicon into an OR over the first
+  * MaxExpand matching terms (pinned order: ascending term), then runs
+  * through the ordinary kernel. */
+sealed trait QMulti extends Q {
+  /** lexicon predicate + optional scan-narrowing prefix */
+  def matches(term: String): Boolean
+  def scanPrefix: String
+}
+/** `foo*` (Whoosh Prefix) */
+final case class QPrefix(prefix: String) extends QMulti {
+  def matches(t: String): Boolean = t.startsWith(prefix)
+  def scanPrefix: String = prefix
+}
+/** `fo?b*r` (Whoosh Wildcard): * = any run, ? = one char */
+final case class QWildcard(pattern: String) extends QMulti {
+  lazy val regexStr: String = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c   => sb.append(java.util.regex.Pattern.quote(c.toString))
+    }
+    sb.toString
+  }
+  @transient private lazy val re = java.util.regex.Pattern.compile(regexStr)
+  def matches(t: String): Boolean = re.matcher(t).matches()
+  def scanPrefix: String = pattern.takeWhile(c => c != '*' && c != '?')
+}
+/** `term~` / `term~2` (Whoosh FuzzyTerm): Levenshtein distance <= maxDist */
+final case class QFuzzy(term: String, maxDist: Int = 1) extends QMulti {
+  def matches(t: String): Boolean =
+    math.abs(t.length - term.length) <= maxDist &&
+      QFuzzy.levenshtein(term, t, maxDist) <= maxDist
+  def scanPrefix: String = "" // fuzzy can differ in the first char
+}
+object QFuzzy {
+  /** banded Levenshtein with early exit above `cap` */
+  def levenshtein(a: String, b: String, cap: Int): Int = {
+    if (a == b) return 0
+    val n = a.length
+    val m = b.length
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var rowMin = cur(0)
+      var j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > cap) return cap + 1
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+}
+/** `[alpha TO beta]` (Whoosh TermRange, inclusive) */
+final case class QRange(lo: String, hi: String) extends QMulti {
+  def matches(t: String): Boolean = t >= lo && t <= hi
+  def scanPrefix: String = {
+    val common = lo.zip(hi).takeWhile { case (a, b) => a == b }.map(_._1)
+    common.mkString
+  }
+}
+object QMulti { final val MaxExpand = 128 }
 case object QEmpty extends Q
 
 object QueryRewrite {
-  /** expand every QPrefix against a (sorted-unique) global term source */
-  def expandPrefixes(q: Q, lookup: String => Seq[String]): Q = q match {
-    case QPrefix(p) =>
-      lookup(p).take(QPrefix.MaxExpand).toList match {
+  /** expand every multiterm node against the global lexicon; `scan(mq)`
+    * returns the matching terms in ascending order (callers push
+    * `mq.matches` / `mq.scanPrefix` into their term store) */
+  def expandPrefixes(q: Q, scan: QMulti => Seq[String]): Q = q match {
+    case mq: QMulti =>
+      scan(mq).iterator.take(QMulti.MaxExpand).toList match {
         case Nil      => QEmpty
         case t :: Nil => QTerm(t)
         case ts       => QOr(ts.map(QTerm.apply))
       }
     case QAnd(cs) =>
-      val es = cs.map(expandPrefixes(_, lookup))
+      val es = cs.map(expandPrefixes(_, scan))
       if (es.contains(QEmpty)) QEmpty else QAnd(es)
     case QOr(cs) =>
-      es2or(cs.map(expandPrefixes(_, lookup)))
+      es2or(cs.map(expandPrefixes(_, scan)))
     case QNot(p, n) =>
-      val pe = expandPrefixes(p, lookup)
-      val ne = expandPrefixes(n, lookup)
+      val pe = expandPrefixes(p, scan)
+      val ne = expandPrefixes(n, scan)
       if (pe == QEmpty) QEmpty else if (ne == QEmpty) pe else QNot(pe, ne)
     case other => other
   }
@@ -76,6 +145,7 @@ object QueryParser {
   private sealed trait Tok
   private case class Word(s: String) extends Tok
   private case class Phrase(s: String) extends Tok
+  private case class RangeTok(lo: String, hi: String) extends Tok
   private case object TAnd extends Tok
   private case object TOr extends Tok
   private case object TNot extends Tok
@@ -91,6 +161,19 @@ object QueryParser {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
+      else if (c == '[') {
+        val j = s.indexOf(']', i + 1)
+        val end = if (j < 0) n else j
+        val inner = s.substring(i + 1, end)
+        inner.split("\\sTO\\s".r.regex) match {
+          case Array(lo, hi) =>
+            out += RangeTok(lo.trim.toLowerCase(java.util.Locale.ROOT),
+              hi.trim.toLowerCase(java.util.Locale.ROOT))
+          case _ => // malformed range: fall back to word tokens
+            out ++= inner.split("\\s+").filter(_.nonEmpty).map(Word.apply)
+        }
+        i = if (j < 0) n else j + 1
+      }
       else if (c == '"') {
         val j = s.indexOf('"', i + 1)
         val end = if (j < 0) n else j
@@ -138,7 +221,8 @@ object QueryParser {
         peek match {
           case Some(TAnd)                              => pop(); pos = pos :+ unary()
           case Some(TNot)                              => pop(); neg = neg :+ unary()
-          case Some(Word(_)) | Some(Phrase(_)) | Some(LP) => pos = pos :+ unary()
+          case Some(Word(_)) | Some(Phrase(_)) | Some(LP) |
+               Some(RangeTok(_, _))                    => pos = pos :+ unary()
           case _                                       => continue = false
         }
       }
@@ -154,11 +238,18 @@ object QueryParser {
         val q = orExpr()
         if (peek.contains(RP)) pop()
         q
+      // multiterm syntax (reference semantics: multiterm query text is
+      // lowercased but NOT run through the full analyzer)
       case Word(w) if w.length > 1 && w.endsWith("*") &&
-          !w.init.contains("*") =>
-        // prefix query: lowercase, NOT stop-filtered (reference semantics:
-        // multiterm query text is not run through the full analyzer)
+          !w.init.exists(c => c == '*' || c == '?') =>
         QPrefix(w.init.toLowerCase(java.util.Locale.ROOT))
+      case Word(w) if w.exists(c => c == '*' || c == '?') =>
+        QWildcard(w.toLowerCase(java.util.Locale.ROOT))
+      case Word(w) if w.length > 1 && (w.endsWith("~") ||
+          (w.length > 2 && w.charAt(w.length - 2) == '~' && w.last.isDigit)) =>
+        if (w.endsWith("~")) QFuzzy(w.init.toLowerCase(java.util.Locale.ROOT), 1)
+        else QFuzzy(w.dropRight(2).toLowerCase(java.util.Locale.ROOT),
+          w.last.asDigit)
       case Word(w) =>
         Analyzer.tokenize(w).toList match {
           case Nil      => QEmpty // stopword-only -> dropped from group
@@ -171,6 +262,7 @@ object QueryParser {
           case (t, _) :: Nil => QTerm(t)
           case ts            => mkPhrase(ts)
         }
+      case RangeTok(lo, hi) => QRange(lo, hi)
       case RP   => QEmpty
       case TAnd => QEmpty
       case TOr  => QEmpty

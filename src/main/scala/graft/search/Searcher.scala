@@ -75,14 +75,23 @@ object Searcher {
   def searchQ(spark: SparkSession, handle: IndexHandle, q0: Q, k: Int,
               prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
-    // prefix expansion: one pushed StartsWith scan of the term-sorted
-    // lexicon per prefix, ascending-term order, capped at QPrefix.MaxExpand
+    // multiterm expansion: one pruned lexicon scan per node — the node's
+    // predicate is pushed into Spark (StartsWith/range prune row groups;
+    // wildcard -> rlike; fuzzy -> built-in levenshtein), ascending-term
+    // order, capped at QMulti.MaxExpand
     val q = if (q0.hasPrefix) {
-      QueryRewrite.expandPrefixes(q0, { p =>
-        handle.lexicon
-          .filter($"term".startsWith(p))
-          .orderBy($"term")
-          .limit(QPrefix.MaxExpand)
+      QueryRewrite.expandPrefixes(q0, { mq =>
+        val base =
+          if (mq.scanPrefix.nonEmpty)
+            handle.lexicon.filter($"term".startsWith(mq.scanPrefix))
+          else handle.lexicon
+        val matched = mq match {
+          case QPrefix(_)        => base
+          case w: QWildcard      => base.filter($"term".rlike("^" + w.regexStr + "$"))
+          case QFuzzy(t, d)      => base.filter(levenshtein($"term", lit(t)) <= d)
+          case QRange(lo, hi)    => handle.lexicon.filter($"term" >= lo && $"term" <= hi)
+        }
+        matched.orderBy($"term").limit(QMulti.MaxExpand)
           .select($"term").as[String].collect().toSeq
       })
     } else q0

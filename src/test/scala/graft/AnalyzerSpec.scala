@@ -58,6 +58,13 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(QueryParser.parse("(search OR engine) AND fast") ==
       QAnd(List(QOr(List(QTerm("search"), QTerm("engine"))), QTerm("fast"))))
     assert(QueryParser.parse("sea*") == QPrefix("sea"))
+    assert(QueryParser.parse("s?arch") == QWildcard("s?arch"))
+    assert(QueryParser.parse("se*ch*") == QWildcard("se*ch*"))
+    assert(QueryParser.parse("saerch~") == QFuzzy("saerch", 1))
+    assert(QueryParser.parse("saerch~2") == QFuzzy("saerch", 2))
+    assert(QueryParser.parse("[apple TO cherry]") == QRange("apple", "cherry"))
+    assert(QueryParser.parse("[aa TO cc] AND search") ==
+      QAnd(List(QRange("aa", "cc"), QTerm("search"))))
     assert(QueryParser.parse("SEA* AND fast") == QAnd(List(QPrefix("sea"), QTerm("fast"))))
     assert(QueryParser.parse("the a of") == QEmpty)
     assert(QueryParser.parse("") == QEmpty)

@@ -156,7 +156,12 @@ class SparkIndexSpec extends AnyFunSuite {
       "s6" -> "(w0004 OR w0005) AND w0002",
       "s7" -> "w000*",                      // prefix: lexicon expansion
       "s8" -> "w000* AND w0100",
-      "s9" -> "need* OR w9999")
+      "s9" -> "need* OR w9999",
+      "s10" -> "w00?5",                     // wildcard
+      "s11" -> "w1*9",
+      "s12" -> "w0001~1",                   // fuzzy (many neighbors, capped)
+      "s13" -> "[w0005 TO w0011]",          // term range
+      "s14" -> "[alpha TO beta] AND w0002")
     assertSearchesMatchOracle(dir, docs, queries)
   }
 
