@@ -233,7 +233,9 @@ object QueryParser {
       else QNot(p, mkOr(negsLive))
     }
 
-    def unary(): Q = pop() match {
+    // a dangling operator / unclosed paren leaves no tokens: treat the
+    // missing operand as QEmpty (dropped from its group) instead of crashing
+    def unary(): Q = if (toks.isEmpty) QEmpty else pop() match {
       case LP =>
         val q = orExpr()
         if (peek.contains(RP)) pop()

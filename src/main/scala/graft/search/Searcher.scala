@@ -28,7 +28,14 @@ object Searcher {
   /** Opened once per index: corpus stats, the segment/lexicon relations
     * (file listing + partition discovery happen here, NOT per query), the
     * live deletion set (S6), and a df memo (the index is immutable under a
-    * handle). */
+    * handle).
+    *
+    * SNAPSHOT SEMANTICS: a handle pins the segment files that existed at
+    * open time. Merge/compaction REPLACES segment files, so queries through
+    * a pre-compaction handle fail with FILE_NOT_EXIST — reopen after any
+    * merge (the reference behaves the same: searchers are reopened after
+    * optimize). At cluster scale, leave superseded segment files in place
+    * until readers drain before GC'ing them. */
   final class IndexHandle(val indexDir: String, val stats: BM25.CorpusStats,
                           val segments: DataFrame, val lexicon: DataFrame,
                           val deletes: Set[Long]) {
