@@ -57,11 +57,16 @@ object Dedup {
     *
     * k = bands * rowsPerBand hash functions; a pair collides in a band with
     * probability j^rowsPerBand, so P(candidate) = 1-(1-j^r)^bands. Defaults
-    * (20 bands x 3 rows) catch j>=0.8 with miss probability ~6e-7. The
-    * exact verify keeps precision at 1.0, so output == exhaustive pairs
-    * above the threshold (the DuckDB oracle computes the exhaustive set). */
+    * (45 bands x 3 rows) are tuned to the default threshold 0.7: miss
+    * probability (1 - 0.7^3)^45 ~ 6e-9 AT the threshold (and lower above
+    * it), while r=3 still rejects low-j bulk pairs (j=0.1 collides in a
+    * band w.p. 1e-3). The exact verify keeps precision at 1.0, so output ==
+    * exhaustive pairs above the threshold up to that miss probability (the
+    * DuckDB oracle computes the exhaustive set); lowering `threshold`
+    * without re-tuning bands/rows weakens the recall guarantee — the
+    * band-reliable threshold for (b, r) is roughly (ln(b)/b)^(1/r). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.7, bands: Int = 20, rowsPerBand: Int = 3,
+                   threshold: Double = 0.7, bands: Int = 45, rowsPerBand: Int = 3,
                    shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -147,17 +152,42 @@ object Dedup {
       .toDF("id", "simhash")
   }
 
-  /** SimHash near-dup pairs: pigeonhole blocking on 16-bit chunks (a pair
-    * within hamming distance <= 3 shares at least one of 4 chunks), then
-    * exact hamming verify. */
+  /** chunk boundaries for pigeonhole blocking: `numChunks` contiguous bit
+    * ranges covering [0, 64), widths as even as possible */
+  private[ops] def chunkBounds(numChunks: Int): Array[(Int, Int)] = {
+    val base = 64 / numChunks
+    val extra = 64 % numChunks
+    val out = new Array[(Int, Int)](numChunks)
+    var lo = 0
+    var c = 0
+    while (c < numChunks) {
+      val w = base + (if (c < extra) 1 else 0)
+      out(c) = (lo, w)
+      lo += w
+      c += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs: pigeonhole blocking on `maxHamming + 1` bit
+    * chunks — a pair within hamming distance d <= maxHamming differs in at
+    * most maxHamming chunks, so by pigeonhole it agrees EXACTLY on at least
+    * one of the maxHamming+1 chunks — then exact hamming verify inside each
+    * block. Recall is therefore 1.0 by construction (not probabilistic);
+    * the exhaustive DuckDB oracle asserts exact equality. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, seed: Long = 7L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
+    val chunks = chunkBounds(maxHamming + 1)
     val sigs = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, t) => (id, simhash64(t, seed)) }
     val blocked = sigs.flatMap { case (id, sig) =>
-      (0 until 4).iterator.map(c => (c, (sig >>> (16 * c)) & 0xffffL, id, sig))
+      chunks.indices.iterator.map { c =>
+        val (lo, w) = chunks(c)
+        (c, (sig >>> lo) & ((1L << w) - 1L), id, sig)
+      }
     }
     blocked.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
@@ -167,7 +197,7 @@ object Dedup {
           j <- (i + 1) until xs.length
           d = java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2)
           if d <= maxHamming
-        } yield (xs(i)._1, xs(j)._1, d)
+        } yield (xs(i)._1, xs(j)._1, d.toLong)
       }
       .distinct()
       .toDF("id_a", "id_b", "hamming")

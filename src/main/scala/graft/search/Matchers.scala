@@ -219,7 +219,15 @@ final class PhraseMatcher(terms: Array[(TermCursor, Int)], sumIdf: Double,
       else if (aligned) {
         val tf = phraseTfAt()
         if (tf > 0) { cur = target; curTf = tf; done = true }
-        else target += 1
+        else {
+          // positional miss: realign from the first cursor's NEXT doc —
+          // skipping straight there avoids one wasted realignment round per
+          // miss (vs target += 1, which re-probes a doc the first list
+          // cannot contain)
+          val c0 = terms(0)._1
+          c0.skipTo(target + 1)
+          target = c0.docId
+        }
       }
     }
   }

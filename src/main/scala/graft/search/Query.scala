@@ -19,6 +19,7 @@ sealed trait Q extends Serializable {
     case QOr(cs)         => cs.flatMap(_.terms).toSet
     case QNot(p, n)      => p.terms ++ n.terms
     case _: QMulti       => Set.empty
+    case QPureNot(n)     => n.terms
     case QEmpty          => Set.empty
   }
   def hasPrefix: Boolean = this match {
@@ -110,6 +111,11 @@ final case class QRange(lo: String, hi: String) extends QMulti {
 }
 object QMulti { final val MaxExpand = 128 }
 case object QEmpty extends Q
+/** parser-internal: a group with ONLY negative clauses ("(NOT a)",
+  * "NOT a AND NOT b"). Folds into the enclosing AND group's negative list;
+  * dropped from OR groups and at top level (no match-all to subtract from).
+  * Never escapes QueryParser.parse. */
+final case class QPureNot(neg: Q) extends Q
 
 object QueryRewrite {
   /** expand every multiterm node against the global lexicon; `scan(mq)`
@@ -207,16 +213,23 @@ object QueryParser {
     def orExpr(): Q = {
       var cs = List(andExpr())
       while (peek.contains(TOr)) { pop(); cs = cs :+ andExpr() }
-      mkOr(cs)
+      // a single child (e.g. a parenthesized pure-negative group) passes
+      // through untouched; mkOr's pure-negative drop applies to real unions
+      if (cs.lengthCompare(1) == 0) cs.head else mkOr(cs)
     }
 
-    // andExpr := unary ((AND|NOT)? unary)*  — adjacency = AND; NOT binds the
-    // following unary as a negative clause of the group (Whoosh-style AndNot).
+    // andExpr := (NOT? unary) ((AND|NOT)? unary)*  — adjacency = AND; NOT
+    // binds the following unary as a negative clause of the group
+    // (Whoosh-style AndNot). A group-leading NOT ("NOT foo", "a OR NOT b")
+    // also routes its operand to the negative list; with no positive clause
+    // left the group is QEmpty (the engine has no match-all to subtract
+    // from — Whoosh's Not(foo) over every doc is out of surface).
     def andExpr(): Q = {
       var pos = List.empty[Q]
       var neg = List.empty[Q]
       var continue = true
-      pos = pos :+ unary()
+      if (peek.contains(TNot)) { pop(); neg = neg :+ unary() }
+      else pos = pos :+ unary()
       while (continue) {
         peek match {
           case Some(TAnd)                              => pop(); pos = pos :+ unary()
@@ -226,10 +239,14 @@ object QueryParser {
           case _                                       => continue = false
         }
       }
-      val p = mkAnd(pos)
-      val negsLive = neg.filterNot(_ == QEmpty)
+      // parenthesized pure-negative operands ("a AND (NOT b)") fold into
+      // this group's negative list
+      val (pures, realPos) = pos.partition(_.isInstanceOf[QPureNot])
+      val p = mkAnd(realPos)
+      val negsLive = (neg ++ pures.map(_.asInstanceOf[QPureNot].neg))
+        .filterNot(_ == QEmpty)
       if (negsLive.isEmpty) p
-      else if (p == QEmpty) QEmpty
+      else if (p == QEmpty) QPureNot(mkOr(negsLive))
       else QNot(p, mkOr(negsLive))
     }
 
@@ -285,12 +302,19 @@ object QueryParser {
       case c :: Nil => c
       case cs       => QAnd(cs)
     }
-    def mkOr(cs0: List[Q]): Q = cs0.filterNot(_ == QEmpty) match {
-      case Nil      => QEmpty
-      case c :: Nil => c
-      case cs       => QOr(cs)
-    }
+    // pure-negative children are dropped from OR groups too: "a OR NOT b"
+    // would need a match-all ("everything except b") to union with
+    def mkOr(cs0: List[Q]): Q =
+      cs0.filterNot(c => c == QEmpty || c.isInstanceOf[QPureNot]) match {
+        case Nil      => QEmpty
+        case c :: Nil => c
+        case cs       => QOr(cs)
+      }
 
-    if (toks.isEmpty) QEmpty else orExpr()
+    if (toks.isEmpty) QEmpty
+    else orExpr() match {
+      case _: QPureNot => QEmpty // top-level pure negative: nothing to subtract from
+      case q           => q
+    }
   }
 }

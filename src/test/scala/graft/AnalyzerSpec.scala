@@ -55,6 +55,15 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(QueryParser.parse("score AND \"term frequency\"") ==
       QAnd(List(QTerm("score"), QPhrase(List(("term", 0), ("frequency", 1))))))
     assert(QueryParser.parse("search NOT engine") == QNot(QTerm("search"), QTerm("engine")))
+    // group-leading NOT: operand is a NEGATIVE clause, never a positive one;
+    // with no positive clause the group is empty (no match-all to subtract from)
+    assert(QueryParser.parse("NOT search") == QEmpty)
+    assert(QueryParser.parse("alpha OR NOT search") == QTerm("alpha"))
+    assert(QueryParser.parse("NOT search engine") == QNot(QTerm("engine"), QTerm("search")))
+    // parenthesized pure-negative folds into the enclosing AND group
+    assert(QueryParser.parse("alpha AND (NOT search)") == QNot(QTerm("alpha"), QTerm("search")))
+    assert(QueryParser.parse("alpha (NOT search NOT engine)") ==
+      QNot(QTerm("alpha"), QOr(List(QTerm("search"), QTerm("engine")))))
     assert(QueryParser.parse("(search OR engine) AND fast") ==
       QAnd(List(QOr(List(QTerm("search"), QTerm("engine"))), QTerm("fast"))))
     assert(QueryParser.parse("sea*") == QPrefix("sea"))

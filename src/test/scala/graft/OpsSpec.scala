@@ -65,6 +65,64 @@ class OpsSpec extends AnyFunSuite {
     assert(planted.subsetOf(pairs), s"missing ${planted -- pairs}")
   }
 
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  test("cosinePairs block-grid == exhaustive; plan has no cartesian/BNLJ") {
+    import spark.implicits._
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 1000L).toFloat / 1000f
+    }
+    val rows = (0 until 300).map(i => (i.toLong, vec(i.toLong, 16)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairs(df, "vec_id", "embedding", 0.45)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"quadratic join node in plan:\n$plan")
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.length
+      sim = cosine(rows(i)._2, rows(j)._2)
+      if sim >= 0.45
+    } yield (rows(i)._1, rows(j)._1, math.floor(sim * 1e4 + 0.5) / 1e4)).toSet
+    assert(want.nonEmpty && gotSet == want,
+      s"got=${gotSet.size} want=${want.size} missing=${want -- gotSet} extra=${gotSet -- want}")
+    // uneven block counts must still cover every pair exactly once
+    val got5 = Similarity.cosinePairs(df, "vec_id", "embedding", 0.45, numBlocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got5 == want)
+  }
+
+  test("cosinePairsLsh finds planted high-sim pairs exactly (verify keeps precision)") {
+    import spark.implicits._
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 2000L - 1000L).toFloat / 1000f
+    }
+    val base = (0 until 50).map(i => (i.toLong, vec(i.toLong, 32)))
+    val planted = (0 until 15).map { i =>
+      val v = base(i)._2.zipWithIndex.map { case (x, j) =>
+        x + (SynthCorpus.hash64(900L + i, j.toLong, 0L) % 100L).toFloat / 5000f
+      }
+      ((100 + i).toLong, v)
+    }
+    val rows = base ++ planted
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- rows.indices.iterator; j <- (i + 1) until rows.length
+      if cosine(rows(i)._2, rows(j)._2) >= 0.9
+    } yield (rows(i)._1, rows(j)._1)).toSet
+    assert(want.size >= 15, s"expected planted pairs, got ${want.size}")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("srp ANN finds planted near-neighbors; recall vs brute force") {
     import spark.implicits._
     // clustered vectors: 20 bases x 10 noisy copies
