@@ -122,15 +122,24 @@ object SparkEntry {
     "ft_topk_not" -> ((s, dir) => topk(s, dir, "merge NOT join")),
     // stretch: prefix query (lexicon-expanded multiterm OR)
     "ft_topk_prefix" -> ((s, dir) => topk(s, dir, "s*")),
-    // S3/S5: segment manifests (rows-only check: lineage + counts exist)
+    // S3/S5: segment manifests — doc counts, posting-list row counts and
+    // field-length sums cross-checked against the corpus-derived oracle
+    // (digest/bytes are covered by the determinism and resume specs)
     "ft_segments" -> ((s, dir) => {
       import s.implicits._
       val ix = indexFor(s, dir)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(ix), s.sparkContext.hadoopConfiguration)
       IndexBuilder.readManifests(fs, ix)
-        .map(m => (m.segId, m.docCount, m.postingRows, m.postingBytes, m.digest))
-        .toDF("segid", "doc_count", "posting_rows", "posting_bytes", "digest")
+        .map(m => (m.segId.toLong, m.docCount, m.postingRows, m.rawLenSum))
+        .toDF("segid", "doc_count", "posting_rows", "rawlen_sum")
+    }),
+    // S4 as an API: point lookup of stored fields by docId
+    "ft_doc_fetch" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.getDocuments(s, handle, Seq(0L, 1L, 2L, 3L, 4L, 42L))
+        .select(col("docId").as("docid"), col("repo"), col("path"),
+          col("lang"), col("sha"))
     }),
 
     // ---- training-data pipeline operators over documents/embeddings ----
@@ -159,10 +168,18 @@ object SparkEntry {
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
     }),
-    // SRP-bucketed approximate variant (scale path; rows-only)
-    "ann_srp_topk" -> ((s, dir) =>
+    // SRP-bucketed approximate variant (scale path); the oracle replicates
+    // the signature + radius-2 probe set in SQL and ranks the same
+    // candidate set by exact cosine
+    "ann_srp_topk" -> ((s, dir) => {
+      import s.implicits._
       Similarity.srpTopK(embTable(s, dir), "vec_id", "embedding",
-        queryVec(s, dir), 10)),
+          queryVec(s, dir), 60)
+        .withColumn("r6", round($"sim", 6))
+        .orderBy($"r6".desc, $"id".asc)
+        .limit(10)
+        .select($"id", round($"sim", 4).as("sim"))
+    }),
     // text analysis: token counting, quality scoring, language id,
     // winnowing-style fingerprint
     "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
@@ -170,13 +187,18 @@ object SparkEntry {
     "ql_lang" -> ((s, dir) => TextQuality.langId(docsTable(s, dir), "doc_id", "text")),
     "ql_fingerprint" -> ((s, dir) => TextQuality.fingerprint(docsTable(s, dir), "doc_id", "text")),
     // multimodal plumbing: binary payload column -> batched feature extract
-    // (decode step is a deterministic stub; rows-only check)
+    // (decode step is a deterministic stub — a 16-bin byte histogram — whose
+    // bin counts the oracle recovers exactly: count = round(f * byteLen))
     "mm_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractFeatures(
         Multimodal.fakeMediaTable(docsTable(s, dir), "doc_id", "text"))
-        .map(f => (f.id, f.kind, f.byteLen, f.features.length))
-        .toDF("id", "kind", "byte_len", "feature_dim")
+        .map { f =>
+          def cnt(j: Int): Long = math.round(f.features(j).toDouble * f.byteLen)
+          (f.id, f.kind, f.byteLen, f.features.length.toLong,
+            cnt(0), cnt(2), cnt(6), cnt(7))
+        }
+        .toDF("id", "kind", "byte_len", "feature_dim", "h0", "h2", "h6", "h7")
     })
   )
 
@@ -313,6 +335,20 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib WHERE term LIKE 's%'
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
 
+    // S3/S5: manifest metrics vs the corpus-derived layout (segSize = 128)
+    "ft_segments" -> (cte +
+      """, segd AS (SELECT docid // 128 AS segid, count(*)::BIGINT AS doc_count,
+        |    sum(rawlen)::BIGINT AS rawlen_sum FROM flens GROUP BY 1),
+        |  segp AS (SELECT docid // 128 AS segid, count(DISTINCT term)::BIGINT AS posting_rows
+        |    FROM tf GROUP BY 1)
+        |SELECT segd.segid, segd.doc_count, coalesce(segp.posting_rows, 0) AS posting_rows,
+        |  segd.rawlen_sum
+        |FROM segd LEFT JOIN segp USING (segid)""".stripMargin.replace("\n", " ")),
+    // S4: stored-field point lookup
+    "ft_doc_fetch" -> (cte +
+      """ SELECT docid, repo, path, lang, sha256(content) AS sha FROM ids
+        | WHERE docid IN (0, 1, 2, 3, 4, 42)""".stripMargin.replace("\n", " ")),
+
     // ---- training-data ops (documents / embeddings tables) ----
     "dd_exact" ->
       """SELECT doc_id AS id,
@@ -338,6 +374,10 @@ object SparkEntry {
         |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.45"""
         .stripMargin.replace("\n", " "),
+    "dd_simhash" -> OracleSql.ddSimhash(seed = 7L),
+    "dd_simhash_pairs" -> OracleSql.ddSimhashPairs(maxHamming = 6, seed = 7L),
+    "ann_srp_topk" -> OracleSql.annSrpTopK(k = 10),
+    "mm_features" -> OracleSql.mmFeatures(),
     "ann_cosine_topk" ->
       """WITH q AS (SELECT unnest(embedding)::DOUBLE AS qv,
         |  unnest(range(len(embedding))) AS i FROM embeddings WHERE vec_id = 0),

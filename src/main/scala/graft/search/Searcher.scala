@@ -146,6 +146,18 @@ object Searcher {
       .slice((pageNum - 1) * pageLen, pageNum * pageLen)
   }
 
+  /** S4 as an API: the reference's `get_document(id)` point lookup —
+    * stored fields for explicit docIds. One pruned docstats scan: the
+    * sidecar is segId-partitioned with per-file docId min/max stats, so the
+    * pushed IN filter prunes to the ids' segments/row groups. Deleted docs
+    * are hidden, like every read path. */
+  def getDocuments(spark: SparkSession, handle: IndexHandle, ids: Seq[Long]): DataFrame = {
+    val live = ids.filterNot(handle.deletes.contains)
+    spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .select("docId", "repo", "path", "commit", "lang", "sha", "rawLen")
+      .filter(col("docId").isin(live: _*))
+  }
+
   /** hits + stored fields (Q8): broadcast semi-join of the <=k ids against
     * the docstats sidecar (never the content-bearing corpus scan) */
   def searchWithFields(spark: SparkSession, handle: IndexHandle, query: String,
