@@ -112,7 +112,11 @@ object IndexBuilder {
     def stampedDocs: Dataset[Doc] = stampDocIds(corpus, cfg.sortPartitions)
 
     {
-      val done = readManifests(fs, indexDir).map(_.segId).toSet
+      // resume skips every BUILD-LAYOUT segId already covered by a live
+      // manifest — after compaction the merged manifest's `covers` keeps the
+      // absorbed ranges from being re-ingested (docIds are a pure function
+      // of the corpus, so coverage by range == coverage by layout segId)
+      val done = readManifests(fs, indexDir).flatMap(_.coverSet).toSet
       val segSize = cfg.segSize
       val todo: Seq[Int] =
         if (done.isEmpty && cfg.segmentsPerBatch == Int.MaxValue) {
@@ -138,7 +142,7 @@ object IndexBuilder {
       val stats = IndexStats(
         numDocs = manifests.map(_.docCount).sum,
         totalFieldLen = manifests.map(_.rawLenSum).sum,
-        numSegments = manifests.map(_.segId).maxOption.map(_ + 1).getOrElse(0),
+        numSegments = manifests.size,
         segSize = segSize)
       timed("lexicon")(writeLexicon(spark, indexDir))
       writeStats(fs, indexDir, stats)
@@ -279,30 +283,8 @@ object IndexBuilder {
           .parquet(s"$staging/segments")
       }
 
-      // per-segment metrics for the manifest (order-independent digest:
-      // XOR of per-row sha256 prefixes), computed from the written files
-      val segAgg = timed("manifest segAgg") {
-        spark.read.parquet(s"$staging/segments")
-          .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
-          .groupByKey(_.segId).mapGroups { (segId, it) =>
-            val dig = new Array[Byte](16)
-            var n = 0L
-            var bytes = 0L
-            it.foreach { r =>
-              val md = java.security.MessageDigest.getInstance("SHA-256")
-              md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              md.update(0.toByte)
-              md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
-              md.update(r.blocks)
-              val h = md.digest()
-              var i = 0
-              while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
-              n += 1
-              bytes += r.blocks.length.toLong
-            }
-            (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
-          }.collect().map(t => t._1 -> t).toMap
-      }
+      // per-segment metrics for the manifest, computed from the written files
+      val segAgg = timed("manifest segAgg")(postingMetrics(spark, s"$staging/segments"))
 
       val docAgg = timed("manifest docAgg")(spark.read.parquet(s"$staging/docstats")
         .groupBy($"segId")
@@ -315,8 +297,7 @@ object IndexBuilder {
       // promote staging -> final, then commit the manifest (the commit point)
       val toCommit = batch.getOrElse((segAgg.keySet ++ docAgg.keySet).toSeq.sorted)
       toCommit.foreach { segId =>
-        val (rowsN, bytesN, digest) = segAgg.get(segId)
-          .map(t => (t._2, t._3, t._4)).getOrElse((0L, 0L, "0" * 32))
+        val (rowsN, bytesN, digest) = segAgg.getOrElse(segId, (0L, 0L, "0" * 32))
         val (docCount, lo, hi, rawLenSum) = docAgg.getOrElse(segId,
           (0L, segId.toLong * segSize, segId.toLong * segSize, 0L))
         promoteDir(fs, s"$staging/segments/segId=$segId", s"${segmentsDir(indexDir)}/segId=$segId")
@@ -327,6 +308,37 @@ object IndexBuilder {
       }
       fs.delete(new Path(staging), true)
     } finally analyzed.unpersist()
+  }
+
+  /** Per-segment posting metrics from written segment files:
+    * segId -> (rows, bytes, digest). The digest is order-independent (XOR
+    * of per-row sha256(term, df, maxTf, blocks) prefixes) so it witnesses
+    * bit-determinism across parallelism levels; Merger recomputes the same
+    * metrics for merged segments so the manifest contract survives
+    * compaction. */
+  private[graft] def postingMetrics(spark: SparkSession,
+                                    path: String): Map[Int, (Long, Long, String)] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
+      .groupByKey(_.segId).mapGroups { (segId, it) =>
+        val dig = new Array[Byte](16)
+        var n = 0L
+        var bytes = 0L
+        it.foreach { r =>
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          md.update(0.toByte)
+          md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
+          md.update(r.blocks)
+          val h = md.digest()
+          var i = 0
+          while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
+          n += 1
+          bytes += r.blocks.length.toLong
+        }
+        (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
+      }.collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
   }
 
   /** global lexicon: term -> corpus-wide df, range-partitioned + sorted so
@@ -349,7 +361,9 @@ object IndexBuilder {
     val json =
       s"""{"segId":${m.segId},"docLo":${m.docLo},"docHi":${m.docHi},"docCount":${m.docCount},
          |"rawLenSum":${m.rawLenSum},"postingRows":${m.postingRows},"postingBytes":${m.postingBytes},
-         |"digest":"${m.digest}","source":"${m.source}"}""".stripMargin.replace("\n", "")
+         |"digest":"${m.digest}","source":"${m.source}",
+         |"covers":[${m.coverSet.mkString(",")}],"absorbed":[${m.absorbed.mkString(",")}]}"""
+        .stripMargin.replace("\n", "")
     val tmp = new Path(dir, s".seg-${m.segId}.json.tmp")
     val dst = new Path(dir, s"seg-${m.segId}.json")
     val out = fs.create(tmp, true)
@@ -359,7 +373,19 @@ object IndexBuilder {
     fs.rename(tmp, dst)
   }
 
+  /** Live manifests: all on-disk manifests minus superseded ones. A merge
+    * commits by WRITING the merged manifest (whose `absorbed` lists the
+    * replaced segIds) before deleting the old ones — so after any crash the
+    * union of absorbed sets identifies stale manifests deterministically
+    * (segIds are never reused; an absorbed manifest's own absorptions
+    * remain valid transitively). */
   def readManifests(fs: FileSystem, indexDir: String): Seq[SegmentManifest] = {
+    val all = readManifestsRaw(fs, indexDir)
+    val absorbed = all.iterator.flatMap(_.absorbed).toSet
+    all.filterNot(m => absorbed.contains(m.segId))
+  }
+
+  def readManifestsRaw(fs: FileSystem, indexDir: String): Seq[SegmentManifest] = {
     val dir = new Path(manifestsDir(indexDir))
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
@@ -376,8 +402,14 @@ object IndexBuilder {
   private def parseManifest(json: String): SegmentManifest = {
     def l(k: String): Long = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     def s(k: String): String = (s""""$k":"([^"]*)"""").r.findFirstMatchIn(json).get.group(1)
-    SegmentManifest(l("segId").toInt, l("docLo"), l("docHi"), l("docCount"),
-      l("rawLenSum"), l("postingRows"), l("postingBytes"), s("digest"), s("source"))
+    def ints(k: String): Seq[Int] = (s""""$k":\\[([0-9,]*)\\]""").r.findFirstMatchIn(json)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(',').toSeq.map(_.toInt)).getOrElse(Seq.empty)
+    val segId = l("segId").toInt
+    SegmentManifest(segId, l("docLo"), l("docHi"), l("docCount"),
+      l("rawLenSum"), l("postingRows"), l("postingBytes"), s("digest"), s("source"),
+      covers = ints("covers") match { case Seq() => Seq(segId); case c => c },
+      absorbed = ints("absorbed"))
   }
 
   def writeStats(fs: FileSystem, indexDir: String, st: IndexStats): Unit = {

@@ -22,8 +22,24 @@ import graft.model._
   */
 object Merger {
 
-  /** merge an adjacent group of segIds into one segment (id = min of group);
-    * optionally dropping a deletion set (M2: purge at merge). */
+  /** Merge a group of segIds into one NEW segment (fresh segId = max live
+    * segId + 1 — never an in-place overwrite), optionally dropping a
+    * deletion set (M2: purge at merge).
+    *
+    * Crash-safe commit protocol (mirrors the build's promote-then-manifest):
+    *   1. write merged postings + docstats to staging, promote both into
+    *      place under the FRESH segId (no collision with live dirs);
+    *   2. write the merged manifest — THE commit point: its `absorbed` list
+    *      supersedes the old manifests the moment it lands (readManifests
+    *      resolves supersession), and `covers` carries the transitive
+    *      build-layout lineage for resume;
+    *   3. delete the old manifests, then the old segment dirs — pure GC;
+    *      a crash anywhere leaves a readable, correct index.
+    *
+    * Merged postings are written as `group.size` term-range-partitioned,
+    * term-sorted files inside the one segment dir (readers do partition/file
+    * discovery; parquet min/max stats on `term` stay sharp per file) — a
+    * full compaction never funnels the index through a single task. */
   def mergeGroup(spark: SparkSession, indexDir: String, group: Seq[Int],
                  deletes: Set[Long] = Set.empty): Int = {
     import spark.implicits._
@@ -31,12 +47,29 @@ object Merger {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val sorted = group.sorted
-    val target = sorted.head
-    val manifests = IndexBuilder.readManifests(fs, indexDir)
-      .filter(m => sorted.contains(m.segId))
+    val live = IndexBuilder.readManifests(fs, indexDir)
+    val target = live.map(_.segId).max + 1
+    val manifests = live.filter(m => sorted.contains(m.segId))
     require(manifests.size == sorted.size, s"missing manifests for $sorted")
 
     val delB = spark.sparkContext.broadcast(deletes)
+    val targetId = target
+
+    // concatenation order = docId order = the segments' docLo order. With
+    // fresh merge segIds this is NOT segId order: a second-level merge can
+    // pair a high-segId merged segment holding LOW docIds with a low-segId
+    // original holding high ones.
+    val docLoRank: Map[Int, Int] = manifests.sortBy(m => (m.docLo, m.segId))
+      .map(_.segId).zipWithIndex.toMap
+    // whole-run concatenation cannot interleave docIds: group members must
+    // not straddle each other's ranges (compact() guarantees this by
+    // grouping docLo-adjacent segments; reject misuse fast)
+    manifests.filter(_.docCount > 0).sortBy(_.docLo).sliding(2).foreach {
+      case Seq(a, b) => require(a.docHi < b.docLo,
+        s"segments ${a.segId} [${a.docLo},${a.docHi}] and ${b.segId} " +
+          s"[${b.docLo},${b.docHi}] interleave; merge docLo-adjacent groups")
+      case _ => ()
+    }
 
     val segs = sorted.map { id =>
       spark.read.parquet(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$id")
@@ -45,13 +78,13 @@ object Merger {
     }
 
     def mergeRuns(term: String, runs: Seq[SegRead]): Option[SegRow] = {
-      // concatenate in segId order (== docId order); re-encode; drop deletes
-      val ordered = runs.sortBy(_.segId)
+      // concatenate in docLo order (== docId order); re-encode; drop deletes
+      val ordered = runs.sortBy(r => docLoRank(r.segId))
       val dels = delB.value
       val it = ordered.iterator.flatMap(r => PostingsCodec.decodeIterator(r.blocks))
         .filterNot(p => dels.contains(p.docId))
       val enc = PostingsCodec.encode(it)
-      if (enc.df == 0) None else Some(SegRow(target, term, enc.df, enc.maxTf, enc.bytes))
+      if (enc.df == 0) None else Some(SegRow(targetId, term, enc.df, enc.maxTf, enc.bytes))
     }
 
     val merged =
@@ -68,10 +101,17 @@ object Merger {
 
     val staging = s"${IndexBuilder.stagingDir(indexDir)}-merge"
     fs.delete(new Path(staging), true)
-    merged.repartition(1, $"segId").sortWithinPartitions("segId", "term")
+    merged.repartitionByRange(math.max(2, sorted.size), $"term")
+      .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).partitionBy("segId").parquet(staging)
 
-    // docstats: move the group's sidecars under the surviving segId (the
+    // real metrics for the merged manifest — same digest/row/byte contract
+    // as a fresh build (BASELINE.json "per-partition lineage and
+    // row-count/sha256 metrics" must survive compaction)
+    val (postRows, postBytes, digest) = IndexBuilder.postingMetrics(spark, staging)
+      .getOrElse(targetId, (0L, 0L, "0" * 32))
+
+    // docstats: the group's sidecars re-keyed under the fresh segId (the
     // sidecar is keyed by docId; segId is only physical placement)
     val dsStaging = s"$staging-docstats"
     fs.delete(new Path(dsStaging), true)
@@ -84,34 +124,40 @@ object Merger {
       val r = filtered.agg(count(lit(1)), sum($"rawLen")).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    filtered.withColumn("segId", lit(target))
+    filtered.withColumn("segId", lit(targetId))
       .write.mode(SaveMode.Overwrite).partitionBy("segId").parquet(dsStaging)
 
-    // commit: remove old segment dirs + manifests, promote merged one
-    sorted.foreach { id =>
-      fs.delete(new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$id"), true)
-      fs.delete(new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$id"), true)
-      fs.delete(new Path(s"${IndexBuilder.manifestsDir(indexDir)}/seg-$id.json"), false)
-    }
-    require(fs.rename(new Path(s"$staging/segId=$target"),
-      new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$target")))
-    require(fs.rename(new Path(s"$dsStaging/segId=$target"),
-      new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$target")))
+    // 1. promote into place under the fresh segId
+    require(fs.rename(new Path(s"$staging/segId=$targetId"),
+      new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$targetId")))
+    require(fs.rename(new Path(s"$dsStaging/segId=$targetId"),
+      new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$targetId")))
     fs.delete(new Path(staging), true)
     fs.delete(new Path(dsStaging), true)
 
-    // refreshed manifest for the merged segment
+    // 2. the commit point: merged manifest supersedes the group
     val m = SegmentManifest(
-      segId = target,
+      segId = targetId,
       docLo = manifests.map(_.docLo).min,
       docHi = manifests.map(_.docHi).max,
       docCount = mergedDocCount,
       rawLenSum = mergedRawLen,
-      postingRows = -1, postingBytes = -1, // recomputable; not load-bearing
-      digest = "merged",
-      source = s"merge(${sorted.mkString(",")})")
+      postingRows = postRows, postingBytes = postBytes,
+      digest = digest,
+      source = s"merge(${sorted.mkString(",")})",
+      covers = manifests.flatMap(_.coverSet).distinct.sorted,
+      absorbed = sorted)
     IndexBuilder.writeManifest(fs, indexDir, m)
-    target
+
+    // 3. GC the superseded manifests, then their dirs
+    sorted.foreach { id =>
+      fs.delete(new Path(s"${IndexBuilder.manifestsDir(indexDir)}/seg-$id.json"), false)
+    }
+    sorted.foreach { id =>
+      fs.delete(new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$id"), true)
+      fs.delete(new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$id"), true)
+    }
+    targetId
   }
 
   /** hierarchical compaction: repeatedly merge adjacent groups of
@@ -124,21 +170,28 @@ object Merger {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val dels = if (applyDeletes) graft.build.Deletes.read(spark, indexDir) else Set.empty[Long]
-    var ids = IndexBuilder.readManifests(fs, indexDir).map(_.segId)
-    while (ids.size > 1) {
-      ids = ids.sorted.grouped(groupSize).map { g =>
-        if (g.size == 1) g.head else mergeGroup(spark, indexDir, g, dels)
-      }.toSeq
+    var ms = IndexBuilder.readManifests(fs, indexDir)
+    while (ms.size > 1) {
+      // group segments ADJACENT IN docId ORDER (docLo), the LSM invariant:
+      // merged ranges stay concatenable at every level regardless of the
+      // fresh segIds merges mint
+      ms.sortBy(m => (m.docLo, m.segId)).map(_.segId).grouped(groupSize).foreach { g =>
+        if (g.size > 1) mergeGroup(spark, indexDir, g, dels)
+      }
+      ms = IndexBuilder.readManifests(fs, indexDir)
     }
+    val manifests = IndexBuilder.readManifests(fs, indexDir)
+    val st = IndexBuilder.readStats(fs, indexDir)
     if (applyDeletes && dels.nonEmpty) {
       // stats refresh after physical purge (N/avgfl shrink with the purge)
-      val manifests = IndexBuilder.readManifests(fs, indexDir)
-      val st = IndexBuilder.readStats(fs, indexDir)
       IndexBuilder.writeStats(fs, indexDir, st.copy(
         numDocs = manifests.map(_.docCount).sum,
-        totalFieldLen = manifests.map(_.rawLenSum).sum))
+        totalFieldLen = manifests.map(_.rawLenSum).sum,
+        numSegments = manifests.size))
       IndexBuilder.writeLexicon(spark, indexDir)
       graft.build.Deletes.clear(spark, indexDir)
+    } else {
+      IndexBuilder.writeStats(fs, indexDir, st.copy(numSegments = manifests.size))
     }
   }
 }

@@ -44,11 +44,24 @@ final case class SegRead(term: String, df: Int, maxTf: Int,
 final case class LexRow(term: String, df: Long)
 
 /** per-segment manifest (SURVEY.md S5): lineage + row-count/digest metrics,
-  * the checkpoint unit for resumable builds */
+  * the checkpoint unit for resumable builds.
+  *
+  * `covers` = the ORIGINAL build-layout segIds whose docId ranges this
+  * segment contains (transitive through merges) — resume treats every
+  * covered segId as built, so a compacted index never re-ingests absorbed
+  * ranges. `absorbed` = the immediate merge group this segment replaced
+  * (empty for fresh builds) — readers drop any manifest whose segId appears
+  * in another manifest's absorbed set, which makes the merge commit
+  * crash-safe: the new manifest supersedes the old ones the moment it is
+  * written, and deleting them afterwards is mere GC. */
 final case class SegmentManifest(segId: Int, docLo: Long, docHi: Long,
                                  docCount: Long, rawLenSum: Long,
                                  postingRows: Long, postingBytes: Long,
-                                 digest: String, source: String)
+                                 digest: String, source: String,
+                                 covers: Seq[Int] = Seq.empty,
+                                 absorbed: Seq[Int] = Seq.empty) {
+  def coverSet: Seq[Int] = if (covers.isEmpty) Seq(segId) else covers
+}
 
 final case class IndexStats(numDocs: Long, totalFieldLen: Long,
                             numSegments: Int, segSize: Int)

@@ -46,8 +46,15 @@ object Searcher {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val st = IndexBuilder.readStats(fs, indexDir)
+    // manifest-driven segment set: a crashed merge can leave superseded or
+    // orphaned segment dirs behind (they are GC'd after the commit point) —
+    // readers trust only segIds with a live manifest. The isin filter is a
+    // partition-pruning predicate on the segId directory column.
+    val liveSegs = IndexBuilder.readManifests(fs, indexDir).map(_.segId)
+    val segments = spark.read.parquet(IndexBuilder.segmentsDir(indexDir))
+      .filter(col("segId").isin(liveSegs: _*))
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
-      spark.read.parquet(IndexBuilder.segmentsDir(indexDir)),
+      segments,
       spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
       graft.build.Deletes.read(spark, indexDir))
   }

@@ -183,7 +183,43 @@ class SparkIndexSpec extends AnyFunSuite {
     val after = IndexBuilder.readManifests(fsOf(dir), dir)
     assert(after.size == 1)
     assert(after.head.docCount == 150)
+    // merged manifests keep the full metrics contract: real row/byte counts
+    // and digest (not placeholders), plus transitive build-layout lineage
+    assert(after.head.postingRows > 0 && after.head.postingBytes > 0)
+    assert(after.head.digest.length == 32 && after.head.digest != "merged")
+    assert(after.head.coverSet == Seq(0, 1, 2, 3, 4))
     assertSearchesMatchOracle(dir, docs, queries)
+
+    // resume into the compacted index: covered ranges are never re-ingested
+    val report = IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 32))
+    assert(report.builtSegments.isEmpty,
+      s"resume re-ingested ${report.builtSegments} after compaction")
+    assert(report.stats.numDocs == 150)
+    assertSearchesMatchOracle(dir, docs, queries.take(2))
+  }
+
+  test("crashed merge: superseded manifests + orphan dirs are ignored by readers") {
+    import spark.implicits._
+    val rows = (0 until 90).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(19L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("crash")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 30))
+    val fs = fsOf(dir)
+    val before = IndexBuilder.readManifestsRaw(fs, dir)
+    assert(before.map(_.segId) == Seq(0, 1, 2))
+
+    Merger.mergeGroup(spark, dir, Seq(0, 1))
+    // simulate a crash between the merge commit point (new manifest) and
+    // the GC of a superseded manifest: resurrect seg-0's manifest
+    IndexBuilder.writeManifest(fs, dir, before.head)
+    val live = IndexBuilder.readManifests(fs, dir)
+    assert(live.map(_.segId) == Seq(2, 3), s"supersession failed: ${live.map(_.segId)}")
+    assert(live.map(_.docCount).sum == 90)
+    // search is unaffected (its segment 0 dir is gone; manifest was stale)
+    assertSearchesMatchOracle(dir, refDocs(rows), Seq("c1" -> "w0000", "c2" -> "w0001 OR w0002"))
   }
 
   test("deletion lifecycle: query-time tombstones, purge at compact, stats refresh") {
