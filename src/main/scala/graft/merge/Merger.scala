@@ -169,20 +169,29 @@ object Merger {
     require(groupSize >= 2)
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
-    val dels = if (applyDeletes) graft.build.Deletes.read(spark, indexDir) else Set.empty[Long]
+    val hadDeletes = applyDeletes &&
+      graft.build.Deletes.listRanges(fs, indexDir).nonEmpty
     var ms = IndexBuilder.readManifests(fs, indexDir)
     while (ms.size > 1) {
       // group segments ADJACENT IN docId ORDER (docLo), the LSM invariant:
       // merged ranges stay concatenable at every level regardless of the
       // fresh segIds merges mint
+      val byId = ms.map(m => m.segId -> m).toMap
       ms.sortBy(m => (m.docLo, m.segId)).map(_.segId).grouped(groupSize).foreach { g =>
-        if (g.size > 1) mergeGroup(spark, indexDir, g, dels)
+        if (g.size > 1) {
+          // purge set bounded by THIS group's doc ranges (per-range
+          // sidecars), never the index-wide tombstone count
+          val dels = if (applyDeletes)
+            graft.build.Deletes.forCovers(fs, indexDir, g.flatMap(byId(_).coverSet))
+          else Set.empty[Long]
+          mergeGroup(spark, indexDir, g, dels)
+        }
       }
       ms = IndexBuilder.readManifests(fs, indexDir)
     }
     val manifests = IndexBuilder.readManifests(fs, indexDir)
     val st = IndexBuilder.readStats(fs, indexDir)
-    if (applyDeletes && dels.nonEmpty) {
+    if (hadDeletes) {
       // stats refresh after physical purge (N/avgfl shrink with the purge)
       IndexBuilder.writeStats(fs, indexDir, st.copy(
         numDocs = manifests.map(_.docCount).sum,

@@ -27,8 +27,10 @@ object Searcher {
 
   /** Opened once per index: corpus stats, the segment/lexicon relations
     * (file listing + partition discovery happen here, NOT per query), the
-    * live deletion set (S6), and a df memo (the index is immutable under a
-    * handle).
+    * deletion-sidecar map (S6 — segId -> tombstone range files; the
+    * tombstones themselves are loaded per segment INSIDE the kernel, never
+    * collected to the driver), and a df memo (the index is immutable under
+    * a handle).
     *
     * SNAPSHOT SEMANTICS: a handle pins the segment files that existed at
     * open time. Merge/compaction REPLACES segment files, so queries through
@@ -37,8 +39,10 @@ object Searcher {
     * optimize). At cluster scale, leave superseded segment files in place
     * until readers drain before GC'ing them. */
   final class IndexHandle(val indexDir: String, val stats: BM25.CorpusStats,
+                          val segSize: Int,
                           val segments: DataFrame, val lexicon: DataFrame,
-                          val deletes: Set[Long]) {
+                          val delRanges: Map[Int, Seq[Long]]) {
+    def hasDeletes: Boolean = delRanges.nonEmpty
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
 
@@ -50,13 +54,23 @@ object Searcher {
     // orphaned segment dirs behind (they are GC'd after the commit point) —
     // readers trust only segIds with a live manifest. The isin filter is a
     // partition-pruning predicate on the segId directory column.
-    val liveSegs = IndexBuilder.readManifests(fs, indexDir).map(_.segId)
+    val manifests = IndexBuilder.readManifests(fs, indexDir)
+    val liveSegs = manifests.map(_.segId)
     val segments = spark.read.parquet(IndexBuilder.segmentsDir(indexDir))
       .filter(col("segId").isin(liveSegs: _*))
+    // deletes: one listing; per-segment sidecars resolve through the
+    // manifest's build-layout `covers` so tombstones stay addressable after
+    // compactions that mint fresh segIds
+    val delRids = graft.build.Deletes.listRanges(fs, indexDir)
+    val delRanges: Map[Int, Seq[Long]] =
+      if (delRids.isEmpty) Map.empty
+      else manifests.iterator.map { m =>
+        m.segId -> m.coverSet.map(_.toLong).filter(delRids)
+      }.filter(_._2.nonEmpty).toMap
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
-      segments,
+      st.segSize, segments,
       spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
-      graft.build.Deletes.read(spark, indexDir))
+      delRanges)
   }
 
   /** global df for the query's terms: one pruned lexicon scan for the
@@ -118,7 +132,8 @@ object Searcher {
     val kLocal = k
     val pruneLocal = prune
     val qLocal = q
-    val dels = handle.deletes
+    val delRanges = handle.delRanges
+    val dirLocal = handle.indexDir
 
     val rows = handle.segments
       .filter($"term".isin(terms.toSeq: _*))
@@ -127,12 +142,22 @@ object Searcher {
 
     val perSegment = rows
       .groupByKey(_.segId)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (segId, it) =>
         val lists = it.map { r =>
           r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
         }.toMap
-        val deleted: Long => Boolean =
-          if (dels.isEmpty) Kernel.NoDeletes else dels.contains
+        // tombstones load INSIDE the kernel, each file bounded by segSize
+        // entries — no tombstone set ever rides the driver or the closure
+        val deleted: Long => Boolean = delRanges.get(segId) match {
+          case None => Kernel.NoDeletes
+          case Some(rids) =>
+            val fs = FileSystem.get(new java.net.URI(dirLocal),
+              new org.apache.hadoop.conf.Configuration())
+            val tomb: Array[Long] = rids.iterator
+              .flatMap(graft.build.Deletes.readRange(fs, dirLocal, _)).toArray
+            java.util.Arrays.sort(tomb)
+            id => java.util.Arrays.binarySearch(tomb, id) >= 0
+        }
         Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal, deleted)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }
@@ -159,7 +184,19 @@ object Searcher {
     * pushed IN filter prunes to the ids' segments/row groups. Deleted docs
     * are hidden, like every read path. */
   def getDocuments(spark: SparkSession, handle: IndexHandle, ids: Seq[Long]): DataFrame = {
-    val live = ids.filterNot(handle.deletes.contains)
+    val live =
+      if (!handle.hasDeletes) ids
+      else {
+        // only the requested ids' ranges are consulted (driver-side, but
+        // bounded by |ids| sidecar files, not by the tombstone count)
+        val fs = FileSystem.get(new java.net.URI(handle.indexDir),
+          spark.sparkContext.hadoopConfiguration)
+        val byRange = ids.groupBy(_ / handle.segSize)
+        byRange.iterator.flatMap { case (rid, rangeIds) =>
+          val tomb = graft.build.Deletes.readRange(fs, handle.indexDir, rid)
+          rangeIds.filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
+        }.toSeq
+      }
     spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
       .select("docId", "repo", "path", "commit", "lang", "sha", "rawLen")
       .filter(col("docId").isin(live: _*))

@@ -236,7 +236,8 @@ class SparkIndexSpec extends AnyFunSuite {
     // tombstones hidden at query time (stats still pre-delete, like the
     // reference before optimize)
     val h1 = Searcher.open(spark, dir)
-    assert(h1.deletes == dels)
+    assert(h1.hasDeletes)
+    assert(graft.build.Deletes.read(spark, dir) == dels)
     val hits1 = Searcher.search(spark, h1, "w0000", 100).collect()
     assert(hits1.nonEmpty && hits1.map(_.docId).toSet.intersect(dels).isEmpty)
 
@@ -253,7 +254,7 @@ class SparkIndexSpec extends AnyFunSuite {
       Seq("d1" -> "w0000", "d2" -> "w0001 OR w0002", "d3" -> "w0003 AND w0004"))
     val h2 = Searcher.open(spark, dir)
     assert(h2.stats.numDocs == 77)
-    assert(h2.deletes.isEmpty)
+    assert(!h2.hasDeletes)
   }
 
   test("merge with deletes purges tombstoned docs") {
