@@ -4,11 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.build.IndexBuilder
+import graft.build.{IndexBuilder, MultiFieldIndex}
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
 import graft.ops.{Dedup, Multimodal, Similarity, TextQuality}
-import graft.search.Searcher
+import graft.search.{MultiFieldSearcher, Searcher}
+import graft.streaming.StreamingIngest
 
 /** Driver contract — one `queries` entry per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the
@@ -20,7 +21,7 @@ import graft.search.Searcher
 object SparkEntry {
 
   /** bump when the on-disk index format changes (invalidates /tmp caches) */
-  private val FormatVersion = "v2"
+  private val FormatVersion = "v3"
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def indexFor(spark: SparkSession, sfDir: String): String =
@@ -29,6 +30,41 @@ object SparkEntry {
         sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       val corpus = CorpusSource.fromDocumentsTable(spark, sfDir)
       IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 128))
+      dir
+    })
+
+  /** two-field (content + path) index root for the field-qualified keys */
+  private val builtMf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def multiIndexFor(spark: SparkSession, sfDir: String): String =
+    builtMf.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft-mfindex-$FormatVersion-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      MultiFieldIndex.build(spark, CorpusSource.fromDocumentsTable(spark, sfDir),
+        dir, MultiFieldIndex.contentAndPath, IndexConfig(segSize = 128))
+      dir
+    })
+
+  /** fresh index + upsert of the first 10 docs (put_document semantics) */
+  private val builtUp = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def upsertIndexFor(spark: SparkSession, sfDir: String): String =
+    builtUp.computeIfAbsent(sfDir, { _ =>
+      import spark.implicits._
+      val dir = s"/tmp/graft-upindex-$FormatVersion-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      IndexBuilder.build(spark, CorpusSource.fromDocumentsTable(spark, sfDir),
+        dir, IndexConfig(segSize = 128))
+      val updated = docsTable(spark, sfDir).filter(col("doc_id") < 10)
+        .select(
+          format_string("r%02d", col("doc_id") % 97).as("repo"),
+          format_string("d/%07d.txt", col("doc_id")).as("path"),
+          format_string("%040x", col("doc_id")).as("commit"),
+          col("lang"),
+          concat(col("text"), lit(" upd")).as("content"))
+        .as[graft.model.CorpusRow]
+      StreamingIngest.upsert(spark, updated, dir, IndexConfig(segSize = 128))
       dir
     })
 
@@ -122,6 +158,31 @@ object SparkEntry {
     "ft_topk_not" -> ((s, dir) => topk(s, dir, "merge NOT join")),
     // stretch: prefix query (lexicon-expanded multiterm OR)
     "ft_topk_prefix" -> ((s, dir) => topk(s, dir, "s*")),
+    // query-time term boost (`term^2`, Whoosh parser surface):
+    // effIdf = idf * boost, pinned in RefModel and the kernel alike
+    "ft_topk_boost" -> ((s, dir) => topk(s, dir, "spark^2 OR merge")),
+    // multi-field schema: field-qualified query over the two-field
+    // (content + path) index, with a query boost on the path term
+    "ft_topk_field" -> ((s, dir) => {
+      import s.implicits._
+      val mh = MultiFieldSearcher.open(s, multiIndexFor(s, dir),
+        MultiFieldIndex.contentAndPath)
+      val kAll = mh.defaultHandle.stats.numDocs.toInt + 1
+      MultiFieldSearcher.search(s, mh, "spark OR path:0000042.txt^2", kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // upsert by unique key (put_document): re-putting changed docs
+    // tombstones the old versions; live set reflects exactly the new text
+    "ft_upsert" -> ((s, dir) => {
+      val ix = upsertIndexFor(s, dir)
+      val dels = graft.build.Deletes.read(s, ix) // oracle-scale index only
+      s.read.parquet(IndexBuilder.docstatsDir(ix))
+        .filter(!col("docId").isin(dels.toSeq: _*))
+        .select(col("repo"), col("path"), col("sha"))
+    }),
     // S3/S5: segment manifests — doc counts, posting-list row counts and
     // field-length sums cross-checked against the corpus-derived oracle
     // (digest/bytes are covered by the determinism and resume specs)
@@ -335,6 +396,31 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib WHERE term LIKE 's%'
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
 
+    "ft_topk_boost" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |  SELECT f.docid, (2.0 * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0)) * (f.tf * 2.2)
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * fl.fl / p.avgfl)) AS s
+        |  FROM tf f JOIN dft d USING (term) JOIN flens fl ON fl.docid = f.docid
+        |  CROSS JOIN params p WHERE f.term = 'spark'
+        |  UNION ALL
+        |  SELECT docid, s FROM contrib WHERE term = 'merge'
+        |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // two-field index: path field has one surviving token per doc (the 'd'
+    // dir prefix is dropped by min-size), so fl = avgfl = 1 and df = 1
+    "ft_topk_field" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |  SELECT docid, s FROM contrib WHERE term = 'spark'
+        |  UNION ALL
+        |  SELECT i.docid,
+        |    (2.0 * (ln(p.n::DOUBLE / 2.0) + 1.0)) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0)) AS s
+        |  FROM ids i CROSS JOIN params p WHERE i.path = 'd/0000042.txt'
+        |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    "ft_upsert" ->
+      """WITH up AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 10 THEN text || ' upd' ELSE text END AS t FROM documents)
+        |SELECT printf('r%02d', doc_id % 97) AS repo,
+        |  printf('d/%07d.txt', doc_id) AS path, sha256(t) AS sha FROM up"""
+        .stripMargin.replace("\n", " "),
     // S3/S5: manifest metrics vs the corpus-derived layout (segSize = 128)
     "ft_segments" -> (cte +
       """, segd AS (SELECT docid // 128 AS segid, count(*)::BIGINT AS doc_count,

@@ -39,20 +39,31 @@ final class RefModel(docs: Seq[(Long, String)]) {
   /** multiterm expansion against the oracle's own lexicon (ascending terms) */
   def prefixLookup(mq: QMulti): Seq[String] = sortedTerms.filter(mq.matches)
 
-  /** score of query q at doc, None if the doc doesn't match */
+  /** the single field this model holds (a multi-field oracle composes one
+    * RefModel per field — see MultiFieldSpec) */
+  val field: String = Q.DefaultField
+
+  /** score of query q at doc, None if the doc doesn't match. Boost folds
+    * into the idf factor: effIdf = idf * boost — the pinned form the kernel
+    * replicates (Kernel.buildMatcher). */
   def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
-    case QEmpty => None
+    case QEmpty      => None
+    case _: QPureNot => None
     case mq: QMulti => scoreDoc(QueryRewrite.expandPrefixes(mq, prefixLookup), docId)
-    case QTerm(t) =>
-      postings.get(t).flatMap(_.get(docId)).map { ps =>
-        BM25.score(idf(t), ps.length, fl(docId), stats.avgFieldLen)
+    case QTerm(t, f, boost) =>
+      if (f != field) None
+      else postings.get(t).flatMap(_.get(docId)).map { ps =>
+        BM25.score(idf(t) * boost, ps.length, fl(docId), stats.avgFieldLen)
       }
-    case QPhrase(ts) =>
-      val ptf = phraseTf(ts, docId)
-      if (ptf == 0) None
+    case QPhrase(ts, f, boost) =>
+      if (f != field) None
       else {
-        val sumIdf = ts.map { case (t, _) => idf(t) }.sum
-        Some(BM25.score(sumIdf, ptf, fl(docId), stats.avgFieldLen))
+        val ptf = phraseTf(ts, docId)
+        if (ptf == 0) None
+        else {
+          val sumIdf = ts.map { case (t, _) => idf(t) }.sum * boost
+          Some(BM25.score(sumIdf, ptf, fl(docId), stats.avgFieldLen))
+        }
       }
     case QAnd(cs) =>
       val scores = cs.map(c => scoreDoc(c, docId))

@@ -1,0 +1,139 @@
+package graft.search
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.build.MultiFieldIndex
+import graft.build.MultiFieldIndex.FieldSpec
+import graft.model.SegRead
+
+/** Search over a multi-field index (field-qualified queries — `path:term`,
+  * `title:"a phrase"` — with per-field BM25 stats and schema/query boosts).
+  *
+  * Same shuffle-light plan as the single-field Searcher: per field, one
+  * pruned lexicon lookup + one pruned segment scan restricted to that
+  * field's query terms; the per-field row sets union (docId ranges align
+  * across fields by construction) and one kernel per segment evaluates the
+  * whole tree with field-keyed lists. No corpus-wide shuffle.
+  */
+object MultiFieldSearcher {
+
+  import Searcher.{IndexHandle, SearchHit}
+
+  final class MultiHandle(val root: String, val fields: Seq[FieldSpec],
+                          val handles: Map[String, IndexHandle]) {
+    def defaultHandle: IndexHandle = handles(Q.DefaultField)
+    val boostOf: Map[String, Double] = fields.map(f => f.name -> f.boost).toMap
+  }
+
+  def open(spark: SparkSession, root: String, fields: Seq[FieldSpec]): MultiHandle = {
+    val handles = fields.map(f =>
+      f.name -> Searcher.open(spark, MultiFieldIndex.fieldDir(root, f.name))).toMap
+    // segment grouping relies on aligned segId ranges across field indexes:
+    // same segSize, and any compaction applied identically per field
+    require(handles.values.map(_.segSize).toSet.size == 1,
+      "field indexes disagree on segSize")
+    new MultiHandle(root, fields, handles)
+  }
+
+  /** fold schema-time field boosts into the query nodes' boosts (pinned
+    * multiplication order: node.boost * fieldBoost) */
+  private def applyFieldBoosts(q: Q, boostOf: Map[String, Double]): Q = {
+    def bf(f: String): Double = boostOf.getOrElse(f, 1.0)
+    q match {
+      case t: QTerm     => t.copy(boost = t.boost * bf(t.field))
+      case p: QPhrase   => p.copy(boost = p.boost * bf(p.field))
+      case m: QPrefix   => m.copy(boost = m.boost * bf(m.field))
+      case m: QWildcard => m.copy(boost = m.boost * bf(m.field))
+      case m: QFuzzy    => m.copy(boost = m.boost * bf(m.field))
+      case m: QRange    => m.copy(boost = m.boost * bf(m.field))
+      case QAnd(cs)     => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
+      case QOr(cs)      => QOr(cs.map(applyFieldBoosts(_, boostOf)))
+      case QNot(p, n)   => QNot(applyFieldBoosts(p, boostOf), applyFieldBoosts(n, boostOf))
+      case other        => other
+    }
+  }
+
+  def search(spark: SparkSession, mh: MultiHandle, query: String, k: Int = 10,
+             prune: Boolean = true): Dataset[SearchHit] = {
+    import spark.implicits._
+    val q0 = applyFieldBoosts(QueryParser.parse(query), mh.boostOf)
+    // multiterm expansion against the NODE'S FIELD's lexicon
+    val q = if (q0.hasPrefix) {
+      QueryRewrite.expandPrefixes(q0, { mq =>
+        mh.handles.get(mq.field) match {
+          case None => Seq.empty
+          case Some(h) =>
+            val base =
+              if (mq.scanPrefix.nonEmpty) h.lexicon.filter($"term".startsWith(mq.scanPrefix))
+              else h.lexicon
+            val matched = mq match {
+              case _: QPrefix           => base
+              case w: QWildcard         => base.filter($"term".rlike("^" + w.regexStr + "$"))
+              case QFuzzy(t, d, _, _)   => base.filter(levenshtein($"term", lit(t)) <= d)
+              case QRange(lo, hi, _, _) => h.lexicon.filter($"term" >= lo && $"term" <= hi)
+            }
+            matched.orderBy($"term").limit(QMulti.MaxExpand)
+              .select($"term").as[String].collect().toSeq
+        }
+      })
+    } else q0
+    val ft = q.fieldTerms
+    if (q == QEmpty || ft.isEmpty) return spark.emptyDataset[SearchHit]
+
+    // per-field global dfs (pruned lexicon lookups, memoized per handle)
+    val dfs: Map[(String, String), Long] = ft.groupBy(_._1).flatMap {
+      case (fname, pairs) =>
+        mh.handles.get(fname) match {
+          case None    => pairs.map(p => (fname, p._2) -> 0L)
+          case Some(h) =>
+            Searcher.termDfs(spark, h, pairs.map(_._2))
+              .map { case (t, d) => (fname, t) -> d }
+        }
+    }
+    // total function: a query node on an unknown field scores nothing, but
+    // phrase matcher construction reads the field's stats before the lists
+    // miss is detected
+    val statsByField: Map[String, BM25.CorpusStats] =
+      mh.handles.map { case (n, h) => n -> h.stats }
+        .withDefaultValue(BM25.CorpusStats(0, 0))
+    val delRanges = mh.defaultHandle.delRanges
+    val delDir = mh.defaultHandle.indexDir
+    val qLocal = q
+    val kLocal = k
+    val pruneLocal = prune
+
+    // one pruned scan per field, unioned with a field tag
+    val rows = mh.handles.toSeq.sortBy(_._1).flatMap { case (fname, h) =>
+      val terms = ft.collect { case (f, t) if f == fname => t }
+      if (terms.isEmpty) None
+      else Some(h.segments
+        .filter($"term".isin(terms.toSeq: _*))
+        .select(lit(fname).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
+    }
+    if (rows.isEmpty) return spark.emptyDataset[SearchHit]
+
+    val perSegment = rows.reduce(_ unionByName _)
+      .as[(String, String, Int, Int, Array[Byte], Int)]
+      .groupByKey(_._6)
+      .flatMapGroups { (segId, it) =>
+        val lists = it.map { case (fname, term, df, maxTf, blocks, _) =>
+          Kernel.key(fname, term) ->
+            Kernel.TermList(blocks, maxTf, dfs.getOrElse((fname, term), df.toLong))
+        }.toMap
+        val deleted: Long => Boolean = delRanges.get(segId) match {
+          case None => Kernel.NoDeletes
+          case Some(rids) =>
+            val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(delDir),
+              new org.apache.hadoop.conf.Configuration())
+            val tomb = rids.iterator
+              .flatMap(graft.build.Deletes.readRange(fs, delDir, _)).toArray
+            java.util.Arrays.sort(tomb)
+            id => java.util.Arrays.binarySearch(tomb, id) >= 0
+        }
+        Kernel.topKMulti(qLocal, lists, statsByField, kLocal, pruneLocal, deleted)
+          .iterator.map(h => SearchHit(h.docId, h.score))
+      }
+    perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
+  }
+}

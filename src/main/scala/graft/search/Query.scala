@@ -12,15 +12,17 @@ import graft.analysis.Analyzer
 sealed trait Q extends Serializable {
   /** all leaf terms mentioned (for posting-list pruning); prefixes must be
     * expanded (QueryRewrite) before this is meaningful */
-  def terms: Set[String] = this match {
-    case QTerm(t)        => Set(t)
-    case QPhrase(ts)     => ts.map(_._1).toSet
-    case QAnd(cs)        => cs.flatMap(_.terms).toSet
-    case QOr(cs)         => cs.flatMap(_.terms).toSet
-    case QNot(p, n)      => p.terms ++ n.terms
-    case _: QMulti       => Set.empty
-    case QPureNot(n)     => n.terms
-    case QEmpty          => Set.empty
+  def terms: Set[String] = fieldTerms.map(_._2)
+  /** (field, term) leaf pairs — the multi-field pruning/df-lookup unit */
+  def fieldTerms: Set[(String, String)] = this match {
+    case QTerm(t, f, _)    => Set((f, t))
+    case QPhrase(ts, f, _) => ts.map(t => (f, t._1)).toSet
+    case QAnd(cs)          => cs.flatMap(_.fieldTerms).toSet
+    case QOr(cs)           => cs.flatMap(_.fieldTerms).toSet
+    case QNot(p, n)        => p.fieldTerms ++ n.fieldTerms
+    case _: QMulti         => Set.empty
+    case QPureNot(n)       => n.fieldTerms
+    case QEmpty            => Set.empty
   }
   def hasPrefix: Boolean = this match {
     case _: QMulti  => true
@@ -30,10 +32,18 @@ sealed trait Q extends Serializable {
     case _          => false
   }
 }
-final case class QTerm(term: String) extends Q
+object Q {
+  /** the schema's default field — what unqualified query terms hit */
+  final val DefaultField = "content"
+}
+/** a term in a field, optionally boosted (`term^2`, Whoosh parser surface):
+  * contribution = BM25(idf(field df) * boost, tf, field length stats) */
+final case class QTerm(term: String, field: String = Q.DefaultField,
+                       boost: Double = 1.0) extends Q
 /** phrase terms with raw-stream offsets, e.g. "engine is information" ->
   * List((engine,0),(information,2)) after stop removal. */
-final case class QPhrase(ts: List[(String, Int)]) extends Q
+final case class QPhrase(ts: List[(String, Int)], field: String = Q.DefaultField,
+                         boost: Double = 1.0) extends Q
 final case class QAnd(cs: List[Q]) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
@@ -47,14 +57,18 @@ sealed trait QMulti extends Q {
   /** lexicon predicate + optional scan-narrowing prefix */
   def matches(term: String): Boolean
   def scanPrefix: String
+  def field: String
+  def boost: Double
 }
 /** `foo*` (Whoosh Prefix) */
-final case class QPrefix(prefix: String) extends QMulti {
+final case class QPrefix(prefix: String, field: String = Q.DefaultField,
+                         boost: Double = 1.0) extends QMulti {
   def matches(t: String): Boolean = t.startsWith(prefix)
   def scanPrefix: String = prefix
 }
 /** `fo?b*r` (Whoosh Wildcard): * = any run, ? = one char */
-final case class QWildcard(pattern: String) extends QMulti {
+final case class QWildcard(pattern: String, field: String = Q.DefaultField,
+                           boost: Double = 1.0) extends QMulti {
   lazy val regexStr: String = {
     val sb = new StringBuilder
     pattern.foreach {
@@ -69,7 +83,9 @@ final case class QWildcard(pattern: String) extends QMulti {
   def scanPrefix: String = pattern.takeWhile(c => c != '*' && c != '?')
 }
 /** `term~` / `term~2` (Whoosh FuzzyTerm): Levenshtein distance <= maxDist */
-final case class QFuzzy(term: String, maxDist: Int = 1) extends QMulti {
+final case class QFuzzy(term: String, maxDist: Int = 1,
+                        field: String = Q.DefaultField,
+                        boost: Double = 1.0) extends QMulti {
   def matches(t: String): Boolean =
     math.abs(t.length - term.length) <= maxDist &&
       QFuzzy.levenshtein(term, t, maxDist) <= maxDist
@@ -102,7 +118,9 @@ object QFuzzy {
   }
 }
 /** `[alpha TO beta]` (Whoosh TermRange, inclusive) */
-final case class QRange(lo: String, hi: String) extends QMulti {
+final case class QRange(lo: String, hi: String,
+                        field: String = Q.DefaultField,
+                        boost: Double = 1.0) extends QMulti {
   def matches(t: String): Boolean = t >= lo && t <= hi
   def scanPrefix: String = {
     val common = lo.zip(hi).takeWhile { case (a, b) => a == b }.map(_._1)
@@ -125,8 +143,8 @@ object QueryRewrite {
     case mq: QMulti =>
       scan(mq).iterator.take(QMulti.MaxExpand).toList match {
         case Nil      => QEmpty
-        case t :: Nil => QTerm(t)
-        case ts       => QOr(ts.map(QTerm.apply))
+        case t :: Nil => QTerm(t, mq.field, mq.boost)
+        case ts       => QOr(ts.map(t => QTerm(t, mq.field, mq.boost)))
       }
     case QAnd(cs) =>
       val es = cs.map(expandPrefixes(_, scan))
@@ -202,8 +220,24 @@ object QueryParser {
     out.toList
   }
 
-  /** Parse a query string; QEmpty if nothing indexable remains. */
-  def parse(s: String): Q = {
+  /** `field:` prefix of a raw word token, Whoosh-style: letters/underscore
+    * name, nonempty or phrase-adjacent remainder */
+  private val FieldPrefix = "^([A-Za-z_][A-Za-z0-9_]*):(.*)$".r
+
+  /** trailing `^<boost>` of a raw word token (positive float) */
+  private def splitBoost(w: String): (String, Double) = {
+    val i = w.lastIndexOf('^')
+    if (i <= 0 || i == w.length - 1) (w, 1.0)
+    else w.substring(i + 1).toDoubleOption.filter(_ > 0.0) match {
+      case Some(b) => (w.substring(0, i), b)
+      case None    => (w, 1.0)
+    }
+  }
+
+  /** Parse a query string; QEmpty if nothing indexable remains.
+    * Unqualified terms hit `defaultField` (the reference's
+    * QueryParser(default_field, schema)). */
+  def parse(s: String, defaultField: String = Q.DefaultField): Q = {
     var toks = lex(s)
 
     def peek: Option[Tok] = toks.headOption
@@ -257,42 +291,71 @@ object QueryParser {
         val q = orExpr()
         if (peek.contains(RP)) pop()
         q
-      // multiterm syntax (reference semantics: multiterm query text is
-      // lowercased but NOT run through the full analyzer)
-      case Word(w) if w.length > 1 && w.endsWith("*") &&
-          !w.init.exists(c => c == '*' || c == '?') =>
-        QPrefix(w.init.toLowerCase(java.util.Locale.ROOT))
-      case Word(w) if w.exists(c => c == '*' || c == '?') =>
-        QWildcard(w.toLowerCase(java.util.Locale.ROOT))
-      case Word(w) if w.length > 1 && (w.endsWith("~") ||
-          (w.length > 2 && w.charAt(w.length - 2) == '~' && w.last.isDigit)) =>
-        if (w.endsWith("~")) QFuzzy(w.init.toLowerCase(java.util.Locale.ROOT), 1)
-        else QFuzzy(w.dropRight(2).toLowerCase(java.util.Locale.ROOT),
-          w.last.asDigit)
-      case Word(w) =>
-        Analyzer.tokenize(w).toList match {
-          case Nil      => QEmpty // stopword-only -> dropped from group
-          case t :: Nil => QTerm(t.term)
-          case ts       => mkPhrase(ts.map(t => (t.term, t.pos))) // dotted compounds etc.
+      case Word(w0) =>
+        // strip trailing boost, then a leading field qualifier
+        val (w1, boost) = splitBoost(w0)
+        val (field, w) = w1 match {
+          case FieldPrefix(f, rest) => (f, rest)
+          case _                    => (defaultField, w1)
         }
+        if (w.isEmpty) {
+          // `field:"a phrase"` — the quote ended the word token; the phrase
+          // (plus its own boost token, if any) follows
+          peek match {
+            case Some(Phrase(p)) => pop(); phraseNode(p, field, boost * trailingBoost())
+            case _               => QEmpty // dangling `field:`
+          }
+        } else wordNode(w, field, boost)
       case Phrase(p) =>
-        Analyzer.tokenize(p).toList.map(t => (t.term, t.pos)) match {
-          case Nil           => QEmpty
-          case (t, _) :: Nil => QTerm(t)
-          case ts            => mkPhrase(ts)
-        }
-      case RangeTok(lo, hi) => QRange(lo, hi)
+        phraseNode(p, defaultField, trailingBoost())
+      case RangeTok(lo, hi) => QRange(lo, hi, defaultField)
       case RP   => QEmpty
       case TAnd => QEmpty
       case TOr  => QEmpty
       case TNot => QEmpty
     }
 
+    // `"a b"^2` lexes the boost as a separate trailing word token
+    def trailingBoost(): Double = peek match {
+      case Some(Word(w)) if w.startsWith("^") && w.length > 1 =>
+        w.substring(1).toDoubleOption.filter(_ > 0.0) match {
+          case Some(b) => pop(); b
+          case None    => 1.0
+        }
+      case _ => 1.0
+    }
+
+    // multiterm syntax (reference semantics: multiterm query text is
+    // lowercased but NOT run through the full analyzer)
+    def wordNode(w: String, field: String, boost: Double): Q = {
+      def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      if (w.length > 1 && w.endsWith("*") && !w.init.exists(c => c == '*' || c == '?'))
+        QPrefix(lower(w.init), field, boost)
+      else if (w.exists(c => c == '*' || c == '?'))
+        QWildcard(lower(w), field, boost)
+      else if (w.length > 1 && (w.endsWith("~") ||
+          (w.length > 2 && w.charAt(w.length - 2) == '~' && w.last.isDigit))) {
+        if (w.endsWith("~")) QFuzzy(lower(w.init), 1, field, boost)
+        else QFuzzy(lower(w.dropRight(2)), w.last.asDigit, field, boost)
+      } else Analyzer.tokenize(w).toList match {
+        case Nil      => QEmpty // stopword-only -> dropped from group
+        case t :: Nil => QTerm(t.term, field, boost)
+        case ts       => mkPhrase(ts.map(t => (t.term, t.pos)), field, boost) // dotted compounds etc.
+      }
+    }
+
+    def phraseNode(p: String, field: String, boost: Double): Q =
+      Analyzer.tokenize(p).toList.map(t => (t.term, t.pos)) match {
+        case Nil           => QEmpty
+        case (t, _) :: Nil => QTerm(t, field, boost)
+        case ts            => mkPhrase(ts, field, boost)
+      }
+
     // phrase offsets are rebased so the first surviving term sits at 0 —
     // relative gaps (incl. gaps across removed stopwords, q12) are what matters
-    def mkPhrase(ts: List[(String, Int)]): Q = {
+    def mkPhrase(ts: List[(String, Int)], field: String, boost: Double): Q = {
       val base = ts.head._2
-      QPhrase(ts.map { case (t, p) => (t, p - base) })
+      QPhrase(ts.map { case (t, p) => (t, p - base) }, field, boost)
     }
 
     // dropped (stopword-only) children vanish from their group, Whoosh-style:

@@ -114,10 +114,10 @@ object Searcher {
             handle.lexicon.filter($"term".startsWith(mq.scanPrefix))
           else handle.lexicon
         val matched = mq match {
-          case QPrefix(_)        => base
-          case w: QWildcard      => base.filter($"term".rlike("^" + w.regexStr + "$"))
-          case QFuzzy(t, d)      => base.filter(levenshtein($"term", lit(t)) <= d)
-          case QRange(lo, hi)    => handle.lexicon.filter($"term" >= lo && $"term" <= hi)
+          case _: QPrefix          => base
+          case w: QWildcard        => base.filter($"term".rlike("^" + w.regexStr + "$"))
+          case QFuzzy(t, d, _, _)  => base.filter(levenshtein($"term", lit(t)) <= d)
+          case QRange(lo, hi, _, _) => handle.lexicon.filter($"term" >= lo && $"term" <= hi)
         }
         matched.orderBy($"term").limit(QMulti.MaxExpand)
           .select($"term").as[String].collect().toSeq

@@ -60,6 +60,28 @@ object StreamingIngest {
     stats
   }
 
+  /** Upsert by unique key (the reference's `put_document` semantics:
+    * putting an existing id is delete-then-add — [R] cockatrice/indexer.py
+    * via Whoosh update_document). Unique key = (repo, path, commit).
+    *
+    * 1. look up the batch keys in the docstats sidecar (broadcast semi-join
+    *    — the collected id set is bounded by the BATCH size, never the
+    *    index size); 2. tombstone the old docIds; 3. append the batch as
+    *    fresh segments. Like the reference, the replaced docs stay in
+    *    N/avgfl until a compaction purges them (stats refresh on optimize
+    *    is a separate pass). */
+  def upsert(spark: SparkSession, batch: Dataset[CorpusRow], indexDir: String,
+             cfg: IndexConfig = IndexConfig()): IndexStats = {
+    import spark.implicits._
+    val keys = batch.select($"repo", $"path", $"commit").distinct()
+    val existing = spark.read.parquet(IndexBuilder.docstatsDir(indexDir))
+      .select($"docId", $"repo", $"path", $"commit")
+      .join(org.apache.spark.sql.functions.broadcast(keys), Seq("repo", "path", "commit"))
+      .select($"docId").as[Long].collect()
+    if (existing.nonEmpty) graft.build.Deletes.add(spark, indexDir, existing.toSeq)
+    append(spark, batch, indexDir, cfg)
+  }
+
   /** Start a streaming ingest: every micro-batch commits new segments;
     * every `compactEvery` batches, adjacent segments are merged (the
     * reference's MERGE_SMALL policy analog). */

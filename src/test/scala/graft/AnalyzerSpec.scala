@@ -66,6 +66,22 @@ class AnalyzerSpec extends AnyFunSuite {
       QNot(QTerm("alpha"), QOr(List(QTerm("search"), QTerm("engine")))))
     assert(QueryParser.parse("(search OR engine) AND fast") ==
       QAnd(List(QOr(List(QTerm("search"), QTerm("engine"))), QTerm("fast"))))
+    // field qualifiers + boosts (Whoosh parser surface)
+    assert(QueryParser.parse("path:term") == QTerm("term", "path"))
+    assert(QueryParser.parse("search^2") == QTerm("search", "content", 2.0))
+    assert(QueryParser.parse("path:term^2.5") == QTerm("term", "path", 2.5))
+    assert(QueryParser.parse("path:\"search engine\"") ==
+      QPhrase(List(("search", 0), ("engine", 1)), "path"))
+    assert(QueryParser.parse("\"search engine\"^3") ==
+      QPhrase(List(("search", 0), ("engine", 1)), "content", 3.0))
+    assert(QueryParser.parse("path:\"search engine\"^3") ==
+      QPhrase(List(("search", 0), ("engine", 1)), "path", 3.0))
+    assert(QueryParser.parse("path:sea*^2") == QPrefix("sea", "path", 2.0))
+    assert(QueryParser.parse("title:saerch~2") == QFuzzy("saerch", 2, "title"))
+    assert(QueryParser.parse("path:") == QEmpty) // dangling qualifier
+    assert(QueryParser.parse("search^x") == QTerm("search^x".toLowerCase)
+      || QueryParser.parse("search^x") == QTerm("search")
+      || QueryParser.parse("search^x") == QPhrase(List(("search", 0), ("x", 1)))) // malformed boost degrades, never crashes
     assert(QueryParser.parse("sea*") == QPrefix("sea"))
     assert(QueryParser.parse("s?arch") == QWildcard("s?arch"))
     assert(QueryParser.parse("se*ch*") == QWildcard("se*ch*"))

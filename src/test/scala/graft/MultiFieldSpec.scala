@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.build.IndexBuilder.IndexConfig
+import graft.build.MultiFieldIndex
+import graft.build.MultiFieldIndex.FieldSpec
+import graft.model.CorpusRow
+import graft.ref.RefModel
+import graft.search._
+import graft.streaming.StreamingIngest
+
+/** Multi-field schema, field-qualified queries, boosts, and upsert
+  * (reference surface: [R] cockatrice/schema.py multi-field schemas,
+  * Whoosh `field:term` / `term^2` parser forms, put_document upsert). */
+class MultiFieldSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private val rows: Seq[CorpusRow] = (0 until 120).map { i =>
+    CorpusRow(f"r${i % 5}", f"dir${i % 7}/f$i%04d.txt", f"$i%040x", "text",
+      graft.corpus.SynthCorpus.doc(23L, i.toLong))
+  }
+  private def stamped(rs: Seq[CorpusRow]): Seq[(Long, CorpusRow)] =
+    rs.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex.map { case (r, i) => (i.toLong, r) }
+
+  /** multi-field oracle: one RefModel per field; a query node scores
+    * against its own field's model (same pinned formulas) */
+  private class MultiRef(fields: Map[String, (RefModel, Double)], n: Int) {
+    private def fold(q: Q): Q = q match {
+      case t: QTerm   => t.copy(boost = t.boost * fields.get(t.field).map(_._2).getOrElse(1.0))
+      case p: QPhrase => p.copy(boost = p.boost * fields.get(p.field).map(_._2).getOrElse(1.0))
+      case QAnd(cs)   => QAnd(cs.map(fold))
+      case QOr(cs)    => QOr(cs.map(fold))
+      case QNot(p, x) => QNot(fold(p), fold(x))
+      case other      => other
+    }
+    private def score(q: Q, d: Long): Option[Double] = q match {
+      case t: QTerm =>
+        fields.get(t.field).flatMap { case (rm, _) => rm.scoreDoc(t.copy(field = rm.field), d) }
+      case p: QPhrase =>
+        fields.get(p.field).flatMap { case (rm, _) => rm.scoreDoc(p.copy(field = rm.field), d) }
+      case QAnd(cs) =>
+        val ss = cs.map(score(_, d))
+        if (ss.forall(_.isDefined)) Some(ss.map(_.get).sum) else None
+      case QOr(cs) =>
+        val ss = cs.flatMap(score(_, d))
+        if (ss.isEmpty) None else Some(ss.sum)
+      case QNot(p, x) => if (score(x, d).isDefined) None else score(p, d)
+      case _          => None
+    }
+    def search(qs: String, k: Int): Seq[(Long, Double)] = {
+      val q1 = fold(QueryParser.parse(qs))
+      val q = if (q1.hasPrefix) QueryRewrite.expandPrefixes(q1,
+          mq => fields.get(mq.field).map(_._1.prefixLookup(mq)).getOrElse(Seq.empty))
+        else q1
+      (0L until n.toLong).flatMap(d => score(q, d).map(s => (d, s)))
+        .sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+  }
+
+  private def assertMatches(hits: Seq[Searcher.SearchHit], oracle: Seq[(Long, Double)],
+                            ctx: String): Unit = {
+    assert(hits.map(_.docId) == oracle.map(_._1), s"[$ctx] engine=$hits oracle=$oracle")
+    hits.zip(oracle).foreach { case (h, (_, s)) =>
+      assert(math.abs(h.score - s) <= 1e-6, s"[$ctx] ${h.score} vs $s")
+    }
+  }
+
+  test("two-field index: field-qualified queries rank-identical to per-field oracle") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("mf")
+    val fields = Seq(FieldSpec("content", _.content), FieldSpec("path", _.path))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+
+    val st = stamped(rows)
+    val oracle = new MultiRef(Map(
+      "content" -> (new RefModel(st.map { case (i, r) => (i, r.content) }), 1.0),
+      "path" -> (new RefModel(st.map { case (i, r) => (i, r.path) }), 1.0)), rows.size)
+
+    val queries = Seq(
+      "w0000",                              // default field
+      "path:dir3",                          // field-qualified term
+      "w0001 OR path:dir3",                 // cross-field OR
+      "w0000 AND path:dir2",                // cross-field AND
+      "path:dir4^3 OR w0002",               // field + boost
+      "w0003^2 OR w0001",                   // boosted default-field term
+      "path:dir1 NOT w0000",                // NOT across fields
+      "path:f00*",                          // fielded prefix expansion
+      "nosuchfield:w0000 OR w0004")         // unknown field scores nothing
+    queries.foreach { qs =>
+      val hits = MultiFieldSearcher.search(spark, mh, qs, 10).collect().toSeq
+      assertMatches(hits, oracle.search(qs, 10), qs)
+    }
+  }
+
+  test("schema-time field boost multiplies into query-node boosts") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("mfb")
+    val fields = Seq(FieldSpec("content", _.content), FieldSpec("path", _.path, boost = 2.5))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+    val st = stamped(rows)
+    val oracle = new MultiRef(Map(
+      "content" -> (new RefModel(st.map { case (i, r) => (i, r.content) }), 1.0),
+      "path" -> (new RefModel(st.map { case (i, r) => (i, r.path) }), 2.5)), rows.size)
+    Seq("path:dir3 OR w0001", "path:dir2^2 OR w0000").foreach { qs =>
+      val hits = MultiFieldSearcher.search(spark, mh, qs, 10).collect().toSeq
+      assertMatches(hits, oracle.search(qs, 10), qs)
+    }
+  }
+
+  test("single-field boosts: engine == RefModel (parser ^, phrase boost)") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("boost")
+    graft.build.IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 40))
+    val handle = Searcher.open(spark, dir)
+    val ref = new RefModel(stamped(rows).map { case (i, r) => (i, r.content) })
+    Seq("w0000^2 OR w0001", "w0002^0.5 AND w0003", "\"needle alpha\"^2 OR w0004",
+      "w000*^2 OR w0005").foreach { qs =>
+      val hits = Searcher.search(spark, handle, qs, 10).collect().toSeq
+      val oracle = ref.search(qs, 10)
+      assertMatches(hits, oracle, qs)
+    }
+  }
+
+  test("upsert by unique key: delete-then-add, searches see only the new text") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("upsert")
+    graft.build.IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 40))
+    // re-put two docs with changed content (a marker term zzmarker)
+    val victims = stamped(rows).take(2)
+    val newRows = victims.map { case (_, r) => r.copy(content = r.content + " zzmarker") }
+    StreamingIngest.upsert(spark, spark.createDataset(newRows), dir, IndexConfig(segSize = 40))
+
+    val handle = Searcher.open(spark, dir)
+    // the marker finds exactly the re-put docs, at their NEW (appended) ids
+    val newIds = Searcher.search(spark, handle, "zzmarker", 10).collect().map(_.docId).toSet
+    assert(newIds.size == 2 && newIds.forall(_ >= 120), s"got $newIds")
+    // the old versions are tombstoned: no query returns the old docIds
+    val oldIds = victims.map(_._1).toSet
+    val hot = Searcher.search(spark, handle, "w0000", 200).collect().map(_.docId).toSet
+    assert(hot.intersect(oldIds).isEmpty, s"tombstoned ids resurfaced: ${hot & oldIds}")
+    // stored-field fetch hides the old versions too
+    assert(Searcher.getDocuments(spark, handle, oldIds.toSeq).count() == 0)
+    // re-upserting the same keys again replaces the replacement
+    val newer = newRows.map(r => r.copy(content = r.content + " yymarker"))
+    StreamingIngest.upsert(spark, spark.createDataset(newer), dir, IndexConfig(segSize = 40))
+    val h2 = Searcher.open(spark, dir)
+    val zz = Searcher.search(spark, h2, "zzmarker NOT yymarker", 10).collect()
+    assert(zz.isEmpty, s"stale upsert generation visible: ${zz.toSeq}")
+    assert(Searcher.search(spark, h2, "yymarker", 10).collect().length == 2)
+  }
+}
