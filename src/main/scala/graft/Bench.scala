@@ -85,8 +85,12 @@ object Bench {
     // segment size scales with the corpus (target ~128 segments) but NOT
     // with cpus: the N- and 4N-core runs must execute identical work
     val segSize = math.max(4096L, nDocs / 128L).toInt
+    // tuning knobs for the scaling experiments (BENCH/BASELINE.md)
+    val phase2Parts = sys.env.get("GRAFT_BENCH_PHASE2_PARTS").map(_.toInt).getOrElse(0)
+    val noPersist = sys.env.get("GRAFT_BENCH_NO_PERSIST").contains("1")
     IndexBuilder.build(spark, corpus, ixDir,
-      IndexConfig(segSize = segSize, sortPartitions = cpus * 2))
+      IndexConfig(segSize = segSize, sortPartitions = cpus * 2,
+        phase2Partitions = phase2Parts, persistAnalyzed = !noPersist))
     val buildSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nDocs / buildSec
 

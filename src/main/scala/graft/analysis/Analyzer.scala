@@ -21,6 +21,46 @@ object Analyzer extends Serializable {
 
   val TokenPattern: Pattern = Pattern.compile("""\w+(?:\.?\w+)*""")
 
+  /** JDK `\w` (ASCII-only by default): [A-Za-z0-9_] */
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  /** Hand-rolled scanner equivalent to TokenPattern + lowercase: a token is
+    * word-char runs joined by single dots that are followed by a word char
+    * (`\w+(\.?\w+)*` exactly — property-tested against the regex). One
+    * lowercase String is built per token straight from the source chars; no
+    * Matcher, no group() copy — the analyze pass is the memory-bandwidth
+    * hot spot at high thread counts (BENCH/BASELINE.md), so per-token
+    * allocations matter. Emits (lowercased token, raw position). */
+  @inline private def scanTokens(text: String)(f: (String, Int) => Unit): Unit = {
+    val n = text.length
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    var pos = 0
+    while (i < n) {
+      if (isWordChar(text.charAt(i))) {
+        sb.setLength(0)
+        var j = i
+        var continue = true
+        while (continue) {
+          while (j < n && isWordChar(text.charAt(j))) {
+            val c = text.charAt(j)
+            sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+            j += 1
+          }
+          if (j + 1 < n && text.charAt(j) == '.' && isWordChar(text.charAt(j + 1))) {
+            sb.append('.')
+            j += 1
+          } else continue = false
+        }
+        f(sb.toString, pos)
+        pos += 1
+        i = j
+      } else i += 1
+    }
+  }
+
   /** Whoosh's pinned STOP_WORDS frozenset (SURVEY.md §2.2 A3). */
   val StopWords: Set[String] = Set(
     "a", "an", "and", "are", "as", "at", "be", "by", "can", "for", "from",
@@ -35,6 +75,16 @@ object Analyzer extends Serializable {
 
   /** Tokenize + filter. Positions are raw-stream ordinals. */
   def tokenize(text: String): mutable.ArrayBuffer[Token] = {
+    val out = mutable.ArrayBuffer.empty[Token]
+    scanTokens(text) { (t, pos) =>
+      if (t.length >= MinSize && !StopWords.contains(t)) out += Token(t, pos)
+    }
+    out
+  }
+
+  /** reference tokenizer (the literal pinned regex) — the property-test
+    * witness that scanTokens is exactly equivalent */
+  private[graft] def tokenizeRegex(text: String): mutable.ArrayBuffer[Token] = {
     val out = mutable.ArrayBuffer.empty[Token]
     val m = TokenPattern.matcher(text)
     var pos = 0
@@ -55,15 +105,11 @@ object Analyzer extends Serializable {
     // term (stable -> positions stay ascending), group consecutive equals
     val terms = mutable.ArrayBuffer.empty[String]
     val poss = mutable.ArrayBuffer.empty[Int]
-    val m = TokenPattern.matcher(text)
-    var pos = 0
-    while (m.find()) {
-      val t = m.group().toLowerCase(java.util.Locale.ROOT)
+    scanTokens(text) { (t, pos) =>
       if (t.length >= MinSize && !StopWords.contains(t)) {
         terms += t
         poss += pos
       }
-      pos += 1
     }
     val n = terms.length
     if (n == 0) return Analyzed(0, Array.empty)

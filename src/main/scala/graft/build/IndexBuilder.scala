@@ -44,6 +44,13 @@ object IndexBuilder {
       segmentsPerBatch: Int = Int.MaxValue,
       /** partitions for the docId-stamp range sort; 0 = spark default */
       sortPartitions: Int = 0,
+      /** partitions for the phase-2 run merge (the one wide exchange);
+        * 0 = auto (shuffle.partitions x 4 for single-shot builds) */
+      phase2Partitions: Int = 0,
+      /** persist the analyzed docs between the docstats and postings
+        * consumers; false re-analyzes (trades CPU for memory bandwidth —
+        * see BENCH/BASELINE.md measurements) */
+      persistAnalyzed: Boolean = true,
       source: String = "corpus")
 
   final case class BuildReport(stats: IndexStats, builtSegments: Seq[Int],
@@ -83,12 +90,33 @@ object IndexBuilder {
       .map(b => f"$b%02x").mkString
   }
 
-  /** phase timing to stderr when GRAFT_BUILD_TIMING=1 */
+  /** phase timing to stderr when GRAFT_BUILD_TIMING=1: wall, process CPU,
+    * and effective cores (cpu/wall) — the saturation evidence for the
+    * N->4N scaling analysis in BENCH/BASELINE.md */
   private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
   private def timed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
+    val c0 = processCpuNs()
+    val g0 = gcMs()
     val r = f
-    if (timing) System.err.println(f"[build-timing] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (timing) {
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (processCpuNs() - c0) / 1e9
+      val gc = (gcMs() - g0) / 1e3
+      System.err.println(
+        f"[build-timing] $name: $wall%.2f s wall, $cpu%.2f s cpu, " +
+          f"${cpu / math.max(wall, 1e-9)}%.1f cores, $gc%.1f s gc-stw")
+    }
     r
   }
 
@@ -178,6 +206,8 @@ object IndexBuilder {
     }
 
     // analyze ONCE per doc; both consumers read the persisted result
+    // (persistAnalyzed=false re-analyzes per consumer instead — measured
+    // tradeoff in BENCH/BASELINE.md)
     val analyzed = filtered.map { d =>
       val a = Analyzer.analyze(d.content)
       AnalyzedDoc(
@@ -185,7 +215,8 @@ object IndexBuilder {
         repo = d.repo, path = d.path, commit = d.commit, lang = d.lang,
         sha = d.sha, rawLen = a.fieldLen, lenByte = LengthByte.encode(a.fieldLen),
         blob = TermsBlob.encode(a))
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    if (cfg.persistAnalyzed) analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
       // docstats sidecar (stored-field keys + sha invariant + lengths)
@@ -249,8 +280,10 @@ object IndexBuilder {
       // term (k-way docId merge). Output rows leave the task already
       // term-sorted, so the write needs no further exchange and parquet
       // min/max stats on `term` stay sharp (SURVEY.md §4.2).
-      val numParts = batch.map(b => math.max(1, b.size))
-        .getOrElse(spark.sessionState.conf.numShufflePartitions * 4)
+      val numParts =
+        if (cfg.phase2Partitions > 0) cfg.phase2Partitions
+        else batch.map(b => math.max(1, b.size))
+          .getOrElse(spark.sessionState.conf.numShufflePartitions * 4)
       val segRows = runs
         .repartition(numParts, $"segId")
         .sortWithinPartitions("segId", "term", "salt")

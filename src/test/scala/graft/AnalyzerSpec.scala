@@ -4,7 +4,23 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.analysis.Analyzer
 import graft.search._
 
-class AnalyzerSpec extends AnyFunSuite {
+class AnalyzerSpec extends AnyFunSuite with PropSupport {
+
+  test("scanner tokenizer == pinned regex tokenizer (exact, incl. dots/unicode)") {
+    import org.scalacheck.Gen
+    val tricky = Seq("a..b", "a.b.c.", ".x.y", "_", "a_b.c", "A.B..C_d",
+      "..", "x.", ".x", "héllo wörld", "a\tb.c\nd", "7.5 1..2 w0001.txt")
+    tricky.foreach { s =>
+      assert(Analyzer.tokenize(s) == Analyzer.tokenizeRegex(s), s"on '$s'")
+    }
+    val genChar = Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.const('.'), 2 -> Gen.const(' '),
+      1 -> Gen.const('_'), 1 -> Gen.oneOf('!', '-', '/', 'é', 'ß', '\n'))
+    val genText = Gen.chooseNum(0, 200).flatMap(n => Gen.listOfN(n, genChar).map(_.mkString))
+    forSamples(genText, 400) { s =>
+      assert(Analyzer.tokenize(s) == Analyzer.tokenizeRegex(s), s"on '$s'")
+    }
+  }
 
   test("regex tokenize + lowercase + stop filter, raw positions preserved") {
     val toks = Analyzer.tokenize("A search engine is an information retrieval system")
