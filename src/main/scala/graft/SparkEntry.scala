@@ -114,6 +114,21 @@ object SparkEntry {
         }
         .toDF("docid", "pos", "term")
     }),
+    // analyzer registry: a non-default chain (char-3-gram tokenizer +
+    // lowercase) over the same corpus — the schema-selectable analyzer
+    // surface ([R] cockatrice/schema.py)
+    "ft_tokens_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val chain = new graft.analysis.Chain(
+        graft.analysis.AnalyzerSpec(graft.analysis.NgramTok(3, 3),
+          List(graft.analysis.LowerF)))
+      IndexBuilder.stampDocIds(CorpusSource.fromDocumentsTable(s, dir))
+        .select($"docId", $"content").as[(Long, String)]
+        .flatMap { case (id, c) =>
+          chain.tokenize(c).iterator.map(t => (id, t.pos.toLong, t.term))
+        }
+        .toDF("docid", "pos", "term")
+    }),
     // A4-A5: per-doc post-filter length + lossy byte code (D2)
     "ft_doclen" -> ((s, dir) => {
       s.read.parquet(IndexBuilder.docstatsDir(indexFor(s, dir)))
@@ -158,6 +173,10 @@ object SparkEntry {
     "ft_topk_not" -> ((s, dir) => topk(s, dir, "merge NOT join")),
     // stretch: prefix query (lexicon-expanded multiterm OR)
     "ft_topk_prefix" -> ((s, dir) => topk(s, dir, "s*")),
+    // Whoosh AndMaybe: matches the left side, right side only boosts
+    "ft_topk_andmaybe" -> ((s, dir) => topk(s, dir, "merge ANDMAYBE join")),
+    // Whoosh Require: right side filters, only the left side scores
+    "ft_topk_require" -> ((s, dir) => topk(s, dir, "merge REQUIRE join")),
     // query-time term boost (`term^2`, Whoosh parser surface):
     // effIdf = idf * boost, pinned in RefModel and the kernel alike
     "ft_topk_boost" -> ((s, dir) => topk(s, dir, "spark^2 OR merge")),
@@ -363,6 +382,11 @@ object SparkEntry {
       s"$cte SELECT docid, repo, path FROM ids",
     "ft_tokens" ->
       s"$cte SELECT docid, pos, term FROM tokens",
+    "ft_tokens_ngram" ->
+      (cte + """ SELECT docid,
+        | unnest([i - 1 FOR i IN range(1, length(content) - 1)]) AS pos,
+        | unnest([substr(lower(content), i, 3) FOR i IN range(1, length(content) - 1)]) AS term
+        | FROM ids""".stripMargin.replace("\n", " ")),
     "ft_doclen" ->
       s"$cte SELECT docid, rawlen, lenbyte::BIGINT AS lenbyte FROM flens",
     "ft_df" ->
@@ -396,6 +420,15 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib WHERE term LIKE 's%'
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
 
+    "ft_topk_andmaybe" -> (cte + " " + rank(
+      """SELECT m.docid, m.s + coalesce(j.s, 0.0) AS score
+        | FROM (SELECT docid, s FROM contrib WHERE term = 'merge') m
+        | LEFT JOIN (SELECT docid, s FROM contrib WHERE term = 'join') j
+        | USING (docid)""".stripMargin.replace("\n", " "))),
+    "ft_topk_require" -> (cte + " " + rank(
+      """SELECT docid, s AS score FROM contrib WHERE term = 'merge'
+        | AND docid IN (SELECT docid FROM contrib WHERE term = 'join')"""
+        .stripMargin.replace("\n", " "))),
     "ft_topk_boost" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM (
         |  SELECT f.docid, (2.0 * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0)) * (f.tf * 2.2)

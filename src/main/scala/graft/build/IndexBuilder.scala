@@ -51,6 +51,9 @@ object IndexBuilder {
         * consumers; false re-analyzes (trades CPU for memory bandwidth —
         * see BENCH/BASELINE.md measurements) */
       persistAnalyzed: Boolean = true,
+      /** the field's analysis chain ([R] cockatrice/schema.py registry);
+        * persisted in stats.json so the query side analyzes identically */
+      analyzer: graft.analysis.AnalyzerSpec = graft.analysis.AnalyzerSpec.Standard,
       source: String = "corpus")
 
   final case class BuildReport(stats: IndexStats, builtSegments: Seq[Int],
@@ -171,7 +174,8 @@ object IndexBuilder {
         numDocs = manifests.map(_.docCount).sum,
         totalFieldLen = manifests.map(_.rawLenSum).sum,
         numSegments = manifests.size,
-        segSize = segSize)
+        segSize = segSize,
+        analyzer = cfg.analyzer.asString)
       timed("lexicon")(writeLexicon(spark, indexDir))
       writeStats(fs, indexDir, stats)
       BuildReport(stats, todo, done.toSeq.sorted)
@@ -207,9 +211,18 @@ object IndexBuilder {
 
     // analyze ONCE per doc; both consumers read the persisted result
     // (persistAnalyzed=false re-analyzes per consumer instead — measured
-    // tradeoff in BENCH/BASELINE.md)
+    // tradeoff in BENCH/BASELINE.md). The pinned standard chain uses the
+    // allocation-free scanner fast path; any other spec runs its compiled
+    // chain (semantics property-tested equal for the standard spec).
+    val spec = cfg.analyzer
+    val analyzeFn: String => Analyzer.Analyzed =
+      if (spec == graft.analysis.AnalyzerSpec.Standard) Analyzer.analyze
+      else {
+        val chain = new graft.analysis.Chain(spec)
+        chain.analyze
+      }
     val analyzed = filtered.map { d =>
-      val a = Analyzer.analyze(d.content)
+      val a = analyzeFn(d.content)
       AnalyzedDoc(
         segId = (d.docId / segSize).toInt, docId = d.docId,
         repo = d.repo, path = d.path, commit = d.commit, lang = d.lang,
@@ -447,7 +460,8 @@ object IndexBuilder {
 
   def writeStats(fs: FileSystem, indexDir: String, st: IndexStats): Unit = {
     val json = s"""{"numDocs":${st.numDocs},"totalFieldLen":${st.totalFieldLen},""" +
-      s""""numSegments":${st.numSegments},"segSize":${st.segSize}}"""
+      s""""numSegments":${st.numSegments},"segSize":${st.segSize},""" +
+      s""""analyzer":"${st.analyzer}"}"""
     val tmp = new Path(indexDir, ".stats.json.tmp")
     val dst = new Path(statsPath(indexDir))
     val out = fs.create(tmp, true)
@@ -462,7 +476,10 @@ object IndexBuilder {
     val json = scala.io.Source.fromInputStream(in).mkString
     in.close()
     def l(k: String): Long = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    IndexStats(l("numDocs"), l("totalFieldLen"), l("numSegments").toInt, l("segSize").toInt)
+    val analyzer = """"analyzer":"([^"]*)"""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(graft.analysis.AnalyzerSpec.Standard.asString)
+    IndexStats(l("numDocs"), l("totalFieldLen"), l("numSegments").toInt,
+      l("segSize").toInt, analyzer)
   }
 
   private def promoteDir(fs: FileSystem, from: String, to: String): Unit = {

@@ -24,10 +24,13 @@ import graft.model.CorpusRow
   */
 object MultiFieldIndex {
 
-  /** a schema field: name, how to derive its text from a corpus row, and a
-    * schema-time boost ([R] cockatrice/schema.py field args) */
+  /** a schema field: name, how to derive its text from a corpus row, a
+    * schema-time boost, and the field's analysis chain
+    * ([R] cockatrice/schema.py field args: analyzer + boost) */
   final case class FieldSpec(name: String, extract: CorpusRow => String,
-                             boost: Double = 1.0) {
+                             boost: Double = 1.0,
+                             analyzer: graft.analysis.AnalyzerSpec =
+                               graft.analysis.AnalyzerSpec.Standard) {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad field name: $name")
   }
 
@@ -50,7 +53,8 @@ object MultiFieldIndex {
     fields.map { f =>
       val ex = f.extract
       val derived = corpus.map(r => CorpusRow(r.repo, r.path, r.commit, r.lang, ex(r)))
-      f.name -> IndexBuilder.build(spark, derived, fieldDir(root, f.name), cfg)
+      f.name -> IndexBuilder.build(spark, derived, fieldDir(root, f.name),
+        cfg.copy(analyzer = f.analyzer))
     }.toMap
   }
 

@@ -64,4 +64,5 @@ final case class SegmentManifest(segId: Int, docLo: Long, docHi: Long,
 }
 
 final case class IndexStats(numDocs: Long, totalFieldLen: Long,
-                            numSegments: Int, segSize: Int)
+                            numSegments: Int, segSize: Int,
+                            analyzer: String = "standard|lower|stop(2)")

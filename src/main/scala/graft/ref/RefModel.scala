@@ -13,14 +13,15 @@ import graft.search._
   * distributed engine must be rank-identical and score-identical (±1e-6)
   * to this model on the fixture corpus + query set (FIXTURES.md §3).
   */
-final class RefModel(docs: Seq[(Long, String)]) {
+final class RefModel(docs: Seq[(Long, String)],
+                     analyzeFn: String => Analyzer.Analyzed = Analyzer.analyze) {
 
   // term -> docId -> (tf, positions ascending)
   private val postings = mutable.HashMap.empty[String, mutable.HashMap[Long, Array[Int]]]
   private val rawLen = mutable.HashMap.empty[Long, Int]
 
   docs.foreach { case (docId, content) =>
-    val a = Analyzer.analyze(content)
+    val a = analyzeFn(content)
     rawLen(docId) = a.fieldLen
     a.terms.foreach { case (term, ps) =>
       postings.getOrElseUpdate(term, mutable.HashMap.empty)(docId) = ps
@@ -73,6 +74,10 @@ final class RefModel(docs: Seq[(Long, String)]) {
       if (scores.isEmpty) None else Some(scores.sum)
     case QNot(p, n) =>
       if (scoreDoc(n, docId).isDefined) None else scoreDoc(p, docId)
+    case QAndMaybe(p, m) =>
+      scoreDoc(p, docId).map(s => s + scoreDoc(m, docId).getOrElse(0.0))
+    case QRequire(p, f) =>
+      if (scoreDoc(f, docId).isEmpty) None else scoreDoc(p, docId)
   }
 
   /** number of occurrences of the position pattern ts in docId */

@@ -171,6 +171,42 @@ final class NotMatcher(pos: Matcher, neg: Matcher) extends Matcher {
   def currentUpperBound: Double = pos.currentUpperBound
 }
 
+/** a ANDMAYBE b (Whoosh AndMaybe): matches exactly a's docs; b's score is
+  * added when b also matches the doc (an optional-boost clause). */
+final class AndMaybeMatcher(pos: Matcher, maybe: Matcher) extends Matcher {
+  val maxScore: Double = pos.maxScore + maybe.maxScore
+  def docId: Long = pos.docId
+  def advance(): Unit = pos.advance()
+  def skipTo(target: Long): Unit = pos.skipTo(target)
+  def score: Double = {
+    val d = pos.docId
+    if (maybe.docId < d) maybe.skipTo(d)
+    if (maybe.docId == d) pos.score + maybe.score else pos.score
+  }
+  def currentUpperBound: Double = pos.currentUpperBound + maybe.maxScore
+}
+
+/** a REQUIRE b (Whoosh Require): matches docs where BOTH match, scored by
+  * a only — b is a pure filter. */
+final class RequireMatcher(pos: Matcher, filter: Matcher) extends Matcher {
+  val maxScore: Double = pos.maxScore
+  seek()
+  private def seek(): Unit = {
+    var ok = false
+    while (!ok && pos.docId != Long.MaxValue) {
+      if (filter.docId < pos.docId) filter.skipTo(pos.docId)
+      if (filter.docId == Long.MaxValue) { pos.skipTo(Long.MaxValue); ok = true }
+      else if (filter.docId > pos.docId) pos.skipTo(filter.docId)
+      else ok = true
+    }
+  }
+  def docId: Long = pos.docId
+  def advance(): Unit = { pos.advance(); seek() }
+  def skipTo(target: Long): Unit = { pos.skipTo(target); seek() }
+  def score: Double = pos.score
+  def currentUpperBound: Double = pos.currentUpperBound
+}
+
 /** Positional phrase (Q5, decision D3): terms must occur at their
   * query-side raw-position offsets; tf = number of matching start
   * positions; idf = sum of constituent idfs. */

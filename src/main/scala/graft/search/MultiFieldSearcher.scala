@@ -57,7 +57,9 @@ object MultiFieldSearcher {
   def search(spark: SparkSession, mh: MultiHandle, query: String, k: Int = 10,
              prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
-    val q0 = applyFieldBoosts(QueryParser.parse(query), mh.boostOf)
+    val q0 = applyFieldBoosts(QueryParser.parse(query,
+      chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
+      mh.boostOf)
     // multiterm expansion against the NODE'S FIELD's lexicon
     val q = if (q0.hasPrefix) {
       QueryRewrite.expandPrefixes(q0, { mq =>

@@ -20,16 +20,20 @@ sealed trait Q extends Serializable {
     case QAnd(cs)          => cs.flatMap(_.fieldTerms).toSet
     case QOr(cs)           => cs.flatMap(_.fieldTerms).toSet
     case QNot(p, n)        => p.fieldTerms ++ n.fieldTerms
+    case QAndMaybe(p, m)   => p.fieldTerms ++ m.fieldTerms
+    case QRequire(p, f)    => p.fieldTerms ++ f.fieldTerms
     case _: QMulti         => Set.empty
     case QPureNot(n)       => n.fieldTerms
     case QEmpty            => Set.empty
   }
   def hasPrefix: Boolean = this match {
-    case _: QMulti  => true
-    case QAnd(cs)   => cs.exists(_.hasPrefix)
-    case QOr(cs)    => cs.exists(_.hasPrefix)
-    case QNot(p, n) => p.hasPrefix || n.hasPrefix
-    case _          => false
+    case _: QMulti       => true
+    case QAnd(cs)        => cs.exists(_.hasPrefix)
+    case QOr(cs)         => cs.exists(_.hasPrefix)
+    case QNot(p, n)      => p.hasPrefix || n.hasPrefix
+    case QAndMaybe(p, m) => p.hasPrefix || m.hasPrefix
+    case QRequire(p, f)  => p.hasPrefix || f.hasPrefix
+    case _               => false
   }
 }
 object Q {
@@ -48,6 +52,11 @@ final case class QAnd(cs: List[Q]) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
 final case class QNot(positive: Q, negative: Q) extends Q
+/** `a ANDMAYBE b` (Whoosh AndMaybe): matches exactly a's docs; adds b's
+  * score where b also matches */
+final case class QAndMaybe(positive: Q, maybe: Q) extends Q
+/** `a REQUIRE b` (Whoosh Require): matches where both match, scored by a */
+final case class QRequire(positive: Q, filter: Q) extends Q
 /** Multiterm queries (the reference surface beyond the pinned set —
   * SURVEY.md §2.6 "Prefix, Wildcard, FuzzyTerm, TermRange"): each expands
   * driver-side against the global lexicon into an OR over the first
@@ -155,6 +164,14 @@ object QueryRewrite {
       val pe = expandPrefixes(p, scan)
       val ne = expandPrefixes(n, scan)
       if (pe == QEmpty) QEmpty else if (ne == QEmpty) pe else QNot(pe, ne)
+    case QAndMaybe(p, m) =>
+      val pe = expandPrefixes(p, scan)
+      val me = expandPrefixes(m, scan)
+      if (pe == QEmpty) QEmpty else if (me == QEmpty) pe else QAndMaybe(pe, me)
+    case QRequire(p, f) =>
+      val pe = expandPrefixes(p, scan)
+      val fe = expandPrefixes(f, scan)
+      if (pe == QEmpty || fe == QEmpty) QEmpty else QRequire(pe, fe)
     case other => other
   }
   private def es2or(cs: List[Q]): Q = cs.filterNot(_ == QEmpty) match {
@@ -173,6 +190,8 @@ object QueryParser {
   private case object TAnd extends Tok
   private case object TOr extends Tok
   private case object TNot extends Tok
+  private case object TAndMaybe extends Tok
+  private case object TRequire extends Tok
   private case object LP extends Tok
   private case object RP extends Tok
 
@@ -209,10 +228,13 @@ object QueryParser {
           s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
         val w = s.substring(i, j)
         w match {
-          case "AND" => out += TAnd
-          case "OR"  => out += TOr
-          case "NOT" => out += TNot
-          case _     => out += Word(w)
+          case "AND"      => out += TAnd
+          case "OR"       => out += TOr
+          case "NOT"      => out += TNot
+          case "ANDNOT"   => out += TNot // Whoosh AndNot == our NOT clause
+          case "ANDMAYBE" => out += TAndMaybe
+          case "REQUIRE"  => out += TRequire
+          case _          => out += Word(w)
         }
         i = j
       }
@@ -236,8 +258,12 @@ object QueryParser {
 
   /** Parse a query string; QEmpty if nothing indexable remains.
     * Unqualified terms hit `defaultField` (the reference's
-    * QueryParser(default_field, schema)). */
-  def parse(s: String, defaultField: String = Q.DefaultField): Q = {
+    * QueryParser(default_field, schema)); `chainOf` supplies each field's
+    * analysis chain so query text is analyzed exactly like that field's
+    * index (the reference runs query terms through the schema's per-field
+    * analyzer). */
+  def parse(s: String, defaultField: String = Q.DefaultField,
+            chainOf: String => graft.analysis.Chain = _ => graft.analysis.Chain.Standard): Q = {
     var toks = lex(s)
 
     def peek: Option[Tok] = toks.headOption
@@ -261,6 +287,8 @@ object QueryParser {
     def andExpr(): Q = {
       var pos = List.empty[Q]
       var neg = List.empty[Q]
+      var maybe = List.empty[Q]    // ANDMAYBE operands: optional score adders
+      var reqs = List.empty[Q]     // REQUIRE operands: unscored filters
       var continue = true
       if (peek.contains(TNot)) { pop(); neg = neg :+ unary() }
       else pos = pos :+ unary()
@@ -268,6 +296,8 @@ object QueryParser {
         peek match {
           case Some(TAnd)                              => pop(); pos = pos :+ unary()
           case Some(TNot)                              => pop(); neg = neg :+ unary()
+          case Some(TAndMaybe)                         => pop(); maybe = maybe :+ unary()
+          case Some(TRequire)                          => pop(); reqs = reqs :+ unary()
           case Some(Word(_)) | Some(Phrase(_)) | Some(LP) |
                Some(RangeTok(_, _))                    => pos = pos :+ unary()
           case _                                       => continue = false
@@ -276,7 +306,13 @@ object QueryParser {
       // parenthesized pure-negative operands ("a AND (NOT b)") fold into
       // this group's negative list
       val (pures, realPos) = pos.partition(_.isInstanceOf[QPureNot])
-      val p = mkAnd(realPos)
+      val p0 = mkAnd(realPos)
+      // layering (innermost first): REQUIRE filters, then ANDMAYBE adders,
+      // then NOT exclusions — "a REQUIRE b ANDMAYBE c NOT d"
+      val reqsLive = reqs.filterNot(_ == QEmpty)
+      val p1 = if (reqsLive.isEmpty || p0 == QEmpty) p0 else QRequire(p0, mkAnd(reqsLive))
+      val maybeLive = maybe.filterNot(_ == QEmpty)
+      val p = if (maybeLive.isEmpty || p1 == QEmpty) p1 else QAndMaybe(p1, mkOr(maybeLive))
       val negsLive = (neg ++ pures.map(_.asInstanceOf[QPureNot].neg))
         .filterNot(_ == QEmpty)
       if (negsLive.isEmpty) p
@@ -309,10 +345,12 @@ object QueryParser {
       case Phrase(p) =>
         phraseNode(p, defaultField, trailingBoost())
       case RangeTok(lo, hi) => QRange(lo, hi, defaultField)
-      case RP   => QEmpty
-      case TAnd => QEmpty
-      case TOr  => QEmpty
-      case TNot => QEmpty
+      case RP        => QEmpty
+      case TAnd      => QEmpty
+      case TOr       => QEmpty
+      case TNot      => QEmpty
+      case TAndMaybe => QEmpty
+      case TRequire  => QEmpty
     }
 
     // `"a b"^2` lexes the boost as a separate trailing word token
@@ -337,7 +375,7 @@ object QueryParser {
           (w.length > 2 && w.charAt(w.length - 2) == '~' && w.last.isDigit))) {
         if (w.endsWith("~")) QFuzzy(lower(w.init), 1, field, boost)
         else QFuzzy(lower(w.dropRight(2)), w.last.asDigit, field, boost)
-      } else Analyzer.tokenize(w).toList match {
+      } else chainOf(field).tokenize(w).toList match {
         case Nil      => QEmpty // stopword-only -> dropped from group
         case t :: Nil => QTerm(t.term, field, boost)
         case ts       => mkPhrase(ts.map(t => (t.term, t.pos)), field, boost) // dotted compounds etc.
@@ -345,7 +383,7 @@ object QueryParser {
     }
 
     def phraseNode(p: String, field: String, boost: Double): Q =
-      Analyzer.tokenize(p).toList.map(t => (t.term, t.pos)) match {
+      chainOf(field).tokenize(p).toList.map(t => (t.term, t.pos)) match {
         case Nil           => QEmpty
         case (t, _) :: Nil => QTerm(t, field, boost)
         case ts            => mkPhrase(ts, field, boost)

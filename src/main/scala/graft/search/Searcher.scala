@@ -41,7 +41,8 @@ object Searcher {
   final class IndexHandle(val indexDir: String, val stats: BM25.CorpusStats,
                           val segSize: Int,
                           val segments: DataFrame, val lexicon: DataFrame,
-                          val delRanges: Map[Int, Seq[Long]]) {
+                          val delRanges: Map[Int, Seq[Long]],
+                          val chain: graft.analysis.Chain = graft.analysis.Chain.Standard) {
     def hasDeletes: Boolean = delRanges.nonEmpty
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
@@ -70,7 +71,8 @@ object Searcher {
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
       st.segSize, segments,
       spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
-      delRanges)
+      delRanges,
+      new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)))
   }
 
   /** global df for the query's terms: one pruned lexicon scan for the
@@ -96,7 +98,7 @@ object Searcher {
   def search(spark: SparkSession, handle: IndexHandle, query: String, k: Int = 10,
              prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
-    val q = QueryParser.parse(query)
+    val q = QueryParser.parse(query, chainOf = _ => handle.chain)
     searchQ(spark, handle, q, k, prune)
   }
 

@@ -30,9 +30,14 @@ object StreamingIngest {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val existing = IndexBuilder.readManifests(fs, indexDir)
-    val (segIdBase, segSize) =
-      if (existing.isEmpty) (0, cfg.segSize)
-      else (existing.map(_.segId).max + 1, IndexBuilder.readStats(fs, indexDir).segSize)
+    val (segIdBase, segSize, analyzer) =
+      if (existing.isEmpty) (0, cfg.segSize, cfg.analyzer)
+      else {
+        val st = IndexBuilder.readStats(fs, indexDir)
+        // appended segments MUST analyze with the index's own chain
+        (existing.map(_.segId).max + 1, st.segSize,
+          graft.analysis.AnalyzerSpec.fromString(st.analyzer))
+      }
     val docIdBase = segIdBase.toLong * segSize
 
     val n = batch.count()
@@ -46,7 +51,7 @@ object StreamingIngest {
 
     newSegs.grouped(cfg.segmentsPerBatch).foreach { group =>
       IndexBuilder.buildBatchForAppend(spark, fs, stamped, indexDir, group,
-        cfg.copy(segSize = segSize))
+        cfg.copy(segSize = segSize, analyzer = analyzer))
     }
 
     val manifests = IndexBuilder.readManifests(fs, indexDir)
@@ -54,7 +59,8 @@ object StreamingIngest {
       numDocs = manifests.map(_.docCount).sum,
       totalFieldLen = manifests.map(_.rawLenSum).sum,
       numSegments = manifests.size,
-      segSize = segSize)
+      segSize = segSize,
+      analyzer = analyzer.asString)
     IndexBuilder.writeLexicon(spark, indexDir)
     IndexBuilder.writeStats(fs, indexDir, stats)
     stats

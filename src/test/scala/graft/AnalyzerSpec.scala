@@ -71,6 +71,14 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
     assert(QueryParser.parse("score AND \"term frequency\"") ==
       QAnd(List(QTerm("score"), QPhrase(List(("term", 0), ("frequency", 1))))))
     assert(QueryParser.parse("search NOT engine") == QNot(QTerm("search"), QTerm("engine")))
+    assert(QueryParser.parse("search ANDNOT engine") == QNot(QTerm("search"), QTerm("engine")))
+    assert(QueryParser.parse("search ANDMAYBE engine") ==
+      QAndMaybe(QTerm("search"), QTerm("engine")))
+    assert(QueryParser.parse("search REQUIRE engine") ==
+      QRequire(QTerm("search"), QTerm("engine")))
+    assert(QueryParser.parse("search REQUIRE engine ANDMAYBE fast NOT slow") ==
+      QNot(QAndMaybe(QRequire(QTerm("search"), QTerm("engine")), QTerm("fast")),
+        QTerm("slow")))
     // group-leading NOT: operand is a NEGATIVE clause, never a positive one;
     // with no positive clause the group is empty (no match-all to subtract from)
     assert(QueryParser.parse("NOT search") == QEmpty)

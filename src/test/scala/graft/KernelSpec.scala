@@ -47,7 +47,13 @@ class KernelSpec extends AnyFunSuite with PropSupport {
       for (a <- w; b <- w; c <- w) yield s"$a OR $b OR $c",
       for (a <- w; b <- w) yield "\"" + a + " " + b + "\"",
       for (a <- w; b <- w) yield s"$a NOT $b",
-      for (a <- w; b <- w; c <- w) yield s"($a OR $b) AND $c"
+      for (a <- w; b <- w; c <- w) yield s"($a OR $b) AND $c",
+      for (a <- w; b <- w) yield s"$a ANDMAYBE $b",
+      for (a <- w; b <- w; c <- w) yield s"$a ANDMAYBE ($b OR $c)",
+      for (a <- w; b <- w) yield s"$a REQUIRE $b",
+      for (a <- w; b <- w; c <- w) yield s"($a OR $b) REQUIRE $c ANDMAYBE $a",
+      for (a <- w; b <- w) yield s"$a^2 OR $b",
+      for (a <- w; b <- w) yield "\"" + a + " " + b + "\"^3 OR " + a
     )
   }
 
