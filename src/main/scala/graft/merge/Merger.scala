@@ -169,8 +169,10 @@ object Merger {
     require(groupSize >= 2)
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
-    val hadDeletes = applyDeletes &&
-      graft.build.Deletes.listRanges(fs, indexDir).nonEmpty
+    val delRids = if (applyDeletes) graft.build.Deletes.listRanges(fs, indexDir)
+      else Set.empty[Long]
+    val hadDeletes = delRids.nonEmpty
+    val purged = scala.collection.mutable.Set.empty[Int]
     var ms = IndexBuilder.readManifests(fs, indexDir)
     while (ms.size > 1) {
       // group segments ADJACENT IN docId ORDER (docLo), the LSM invariant:
@@ -184,10 +186,24 @@ object Merger {
           val dels = if (applyDeletes)
             graft.build.Deletes.forCovers(fs, indexDir, g.flatMap(byId(_).coverSet))
           else Set.empty[Long]
-          mergeGroup(spark, indexDir, g, dels)
+          val merged = mergeGroup(spark, indexDir, g, dels)
+          if (applyDeletes) purged += merged
         }
       }
       ms = IndexBuilder.readManifests(fs, indexDir)
+    }
+    if (hadDeletes) {
+      // segments the merge loop never rewrote (odd leftovers, or an index
+      // already compacted to one segment) still hold tombstoned postings:
+      // rewrite each one whose covered ranges intersect the tombstones —
+      // without this, the clear() below would silently DROP deletions
+      IndexBuilder.readManifests(fs, indexDir)
+        .filterNot(m => purged.contains(m.segId))
+        .filter(m => m.coverSet.exists(r => delRids.contains(r.toLong)))
+        .foreach { m =>
+          val dels = graft.build.Deletes.forCovers(fs, indexDir, m.coverSet)
+          if (dels.nonEmpty) mergeGroup(spark, indexDir, Seq(m.segId), dels)
+        }
     }
     val manifests = IndexBuilder.readManifests(fs, indexDir)
     val st = IndexBuilder.readStats(fs, indexDir)

@@ -128,6 +128,44 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-field search survives per-field compaction (aligned fresh segIds)") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("mfc")
+    val fields = Seq(FieldSpec("content", _.content), FieldSpec("path", _.path))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 30))
+    fields.foreach(f => graft.merge.Merger.compact(spark,
+      MultiFieldIndex.fieldDir(root, f.name), groupSize = 2))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+    val st = stamped(rows)
+    val oracle = new MultiRef(Map(
+      "content" -> (new RefModel(st.map { case (i, r) => (i, r.content) }), 1.0),
+      "path" -> (new RefModel(st.map { case (i, r) => (i, r.path) }), 1.0)), rows.size)
+    Seq("w0000 OR path:dir3", "w0001 AND path:dir2").foreach { qs =>
+      val hits = MultiFieldSearcher.search(spark, mh, qs, 10).collect().toSeq
+      assertMatches(hits, oracle.search(qs, 10), qs)
+    }
+  }
+
+  test("per-field analyzer: stemmed content field + raw path field") {
+    import spark.implicits._
+    import graft.analysis._
+    val root = SparkTestBase.tmpDir("mfa")
+    val stemSpec = AnalyzerSpec(StandardTok, List(LowerF, StopF(2), PorterStemF))
+    val fields = Seq(
+      FieldSpec("content", r => r.content + " motoring", analyzer = stemSpec),
+      FieldSpec("path", _.path))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+    assert(mh.handles("content").chain.spec == stemSpec)
+    // query side stems through the content field's chain: "motors" matches
+    // the planted "motoring" in every doc
+    assert(MultiFieldSearcher.search(spark, mh, "motors", 200).count() == rows.size)
+    // the path field keeps the standard chain
+    assert(MultiFieldSearcher.search(spark, mh, "path:dir3", 50).count() > 0)
+  }
+
   test("upsert by unique key: delete-then-add, searches see only the new text") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("upsert")

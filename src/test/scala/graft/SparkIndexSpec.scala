@@ -257,6 +257,62 @@ class SparkIndexSpec extends AnyFunSuite {
     assert(!h2.hasDeletes)
   }
 
+  test("tombstones stay addressable through compaction (covers mapping)") {
+    import spark.implicits._
+    val rows = (0 until 100).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(31L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("delmerge")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 25))
+    val dels = Set(5L, 30L, 77L)
+    graft.build.Deletes.add(spark, dir, dels.toSeq)
+    // compact WITHOUT applying deletes: the merged segment has a fresh
+    // segId; its tombstones live in sidecars keyed by the ORIGINAL ranges
+    // and must still be found through the manifest's covers
+    Merger.compact(spark, dir, groupSize = 2)
+    val h = Searcher.open(spark, dir)
+    assert(h.hasDeletes)
+    val hits = Searcher.search(spark, h, "w0000", 200).collect().map(_.docId).toSet
+    assert(hits.nonEmpty && hits.intersect(dels).isEmpty,
+      s"tombstoned ids visible after compaction: ${hits & dels}")
+    assert(Searcher.getDocuments(spark, h, dels.toSeq).count() == 0)
+    // now purge physically
+    Merger.compact(spark, dir, groupSize = 8, applyDeletes = true)
+    val h2 = Searcher.open(spark, dir)
+    assert(!h2.hasDeletes && h2.stats.numDocs == 97)
+    val survivors = refDocs(rows).filterNot { case (id, _) => dels.contains(id) }
+    assertSearchesMatchOracle(dir, survivors, Seq("p1" -> "w0000", "p2" -> "w0001 OR w0002"))
+  }
+
+  test("upsert then compact(applyDeletes) purges the replaced versions") {
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(37L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("upcompact")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 20))
+    val victims = rows.sortBy(r => (r.repo, r.path, r.commit)).take(2)
+    val updated = victims.map(r => r.copy(content = r.content + " qqfresh"))
+    graft.streaming.StreamingIngest.upsert(spark, spark.createDataset(updated), dir,
+      IndexConfig(segSize = 20))
+    Merger.compact(spark, dir, groupSize = 4, applyDeletes = true)
+    val h = Searcher.open(spark, dir)
+    assert(h.stats.numDocs == 60) // 60 live: 58 untouched + 2 replacements
+    assert(!h.hasDeletes)
+    assert(Searcher.search(spark, h, "qqfresh", 10).count() == 2)
+    // oracle over the post-upsert live corpus at its live docIds
+    val liveDocs = {
+      val untouched = refDocs(rows).filterNot { case (id, _) => id == 0L || id == 1L }
+      val base = 60L // docIdBase of the appended batch (3 segs of 20 -> segId 3)
+      val appended = updated.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex
+        .map { case (r, i) => (base + i, r.content) }
+      untouched ++ appended
+    }
+    assertSearchesMatchOracle(dir, liveDocs, Seq("u1" -> "w0000", "u2" -> "qqfresh"))
+  }
+
   test("merge with deletes purges tombstoned docs") {
     import spark.implicits._
     val rows = (0 until 60).map { i =>
