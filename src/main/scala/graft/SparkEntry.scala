@@ -230,6 +230,12 @@ object SparkEntry {
     "dd_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
+    // exact n-gram Jaccard pairs — same ground truth as the LSH path but
+    // computed fully relationally (shared-shingle counts, no candidate
+    // hashing); its oracle is the same exhaustive scan
+    "dd_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7)
+        .orderBy(col("id_a"), col("id_b"))),
     // SimHash signatures + hamming-blocked pairs (binary codec not
     // SQL-expressible -> rows-only)
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docsTable(s, dir), "doc_id", "text")),
@@ -474,6 +480,17 @@ object SparkEntry {
         | min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
         | sha256(text) AS sha FROM documents""".stripMargin.replace("\n", " "),
     "dd_minhash_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.7"""
+        .stripMargin.replace("\n", " "),
+    // identical exhaustive ground truth for the fully-relational exact path
+    "dd_ngram_pairs" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS s

@@ -124,6 +124,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs, fully relational: explode
+    * distinct shingles -> self-join on shingle (a shuffle equi-join; any
+    * pair with J > 0 shares a shingle, so candidate generation is EXACT) ->
+    * |A intersect B| = the pair's shared-shingle count, |A union B| =
+    * |A| + |B| - intersect. No shingle-set fetch join, no cartesian: the
+    * only wide operations key on shingle hashes and id pairs.
+    *
+    * Skew note: a shingle shared by k docs emits k(k-1)/2 pair rows —
+    * boilerplate text is the quadratic hazard. `maxShingleDf` (0 = exact)
+    * drops shingles above a df cap before pairing; capped runs lower-bound
+    * the true Jaccard (standard at corpus scale, where ubiquitous shingles
+    * carry no dedup signal). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.7, shingleSize: Int = 3,
+                        maxShingleDf: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) => shingles(text, shingleSize).iterator.map(s => (id, hashString(99L, s))) }
+      .toDF("id", "sh")
+    val capped =
+      if (maxShingleDf <= 0) sh
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        sh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxShingleDf).drop("df")
+      }
+    val sizes = capped.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = capped.select(col("id").as("id_a"), col("sh"))
+    val b = capped.select(col("id").as("id_b"), col("sh"))
+    a.join(b, Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** 64-bit SimHash over tf-weighted word hashes. */
   def simhash64(text: String, seed: Long = 7L): Long = {
     val acc = new Array[Int](64)

@@ -46,6 +46,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want, s"LSH=${got.size} exhaustive=${want.size}\n missing=${want -- got}\n extra=${got -- want}")
   }
 
+  test("ngram Jaccard pairs (relational exact) == exhaustive; plan has no cartesian") {
+    import spark.implicits._
+    val docs = dupDocs()
+    val got = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 0.7)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = exhaustivePairs(docs, 0.7)
+    assert(gotSet == want, s"missing=${want -- gotSet} extra=${gotSet -- want}")
+    // df-capped run is a lower bound: subset of the exact pair set
+    val capped = Dedup.ngramJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        0.7, maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(want.map(t => (t._1, t._2))))
+  }
+
   test("exact dedup canonicalizes planted exact duplicates") {
     import spark.implicits._
     val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta", 2L -> "alpha beta gamma")
