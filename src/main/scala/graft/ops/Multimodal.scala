@@ -72,4 +72,29 @@ object Multimodal {
     import spark.implicits._
     media.map(r => r.copy(width = w, height = h))
   }
+
+  final case class FrameRow(id: Long, frame: Int, payload: Array[Byte])
+
+  /** Frame sampling for video rows: a 1 -> N row expansion (flatMap — the
+    * Spark plumbing a real decoder drives), emitting every `stride`-th
+    * "frame". The DECODE is the stub: frames are fixed-size payload slices
+    * standing in for decoded frames; the row-explosion shape, schema, and
+    * per-partition batching are the real, tested parts. */
+  def frameSample(media: Dataset[MediaRow], stride: Int = 2,
+                  frameBytes: Int = 64): Dataset[FrameRow] = {
+    require(stride >= 1 && frameBytes >= 1)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      if (r.kind != "video") Iterator.empty
+      else {
+        val numFrames = math.max(1, r.media.length / frameBytes)
+        (0 until numFrames by stride).iterator.map { f =>
+          val lo = f * frameBytes
+          val hi = math.min(r.media.length, lo + frameBytes)
+          FrameRow(r.id, f, java.util.Arrays.copyOfRange(r.media, lo, math.max(lo, hi)))
+        }
+      }
+    }
+  }
 }

@@ -145,6 +145,77 @@ object Similarity {
     sig
   }
 
+  /** IVF (inverted-file) ANN — the learned-coarse-quantizer scale path:
+    * vectors are assigned to the nearest of `nLists` centroids fit by a
+    * small distributed k-means (deterministic seeded init: the nLists rows
+    * with the smallest id hashes; `iters` Lloyd rounds of broadcast-assign
+    * + groupBy-average); a query exact-ranks only the `nProbe` nearest
+    * lists. At scale the assignment column is precomputed and the table
+    * partitioned/bucketed by it, so a probe reads nProbe/nLists of the
+    * data; here assignment is computed in-flight. Recall is approximate —
+    * property-tested against the exact scan on clustered corpora. Centroid
+    * averages use floating-point aggregation, so centroids (not
+    * correctness of the exact re-rank) may vary in the last bits across
+    * cluster layouts. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nLists: Int = 16, nProbe: Int = 4,
+              iters: Int = 5, seed: Long = 17L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].cache()
+    try {
+      def dist2(a: Array[Double], v: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - v(i); s += d * d; i += 1 }
+        s
+      }
+      def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val d = dist2(cs(c), v)
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+      // deterministic init: the nLists vectors with the smallest id hash
+      var centroids: Array[Array[Double]] = vecs
+        .map { case (id, v) => (graft.corpus.SynthCorpus.hash64(seed, id, 0L), v) }
+        .orderBy($"_1").limit(nLists)
+        .collect().map(_._2.map(_.toDouble))
+      var it = 0
+      while (it < iters) {
+        val cB = spark.sparkContext.broadcast(centroids)
+        val sums = vecs
+          .map { case (_, v) => (nearest(cB.value, v), (v.map(_.toDouble), 1L)) }
+          .groupByKey(_._1)
+          .mapGroups { (c, rows) =>
+            val acc = new Array[Double](query.length)
+            var n = 0L
+            rows.foreach { case (_, (v, _)) =>
+              var i = 0
+              while (i < v.length) { acc(i) += v(i); i += 1 }
+              n += 1
+            }
+            (c, acc, n)
+          }.collect()
+        val next = centroids.clone()
+        sums.foreach { case (c, acc, n) => next(c) = acc.map(_ / n) }
+        centroids = next
+        it += 1
+      }
+      val cB = spark.sparkContext.broadcast(centroids)
+      val probeSet: Set[Int] = centroids.indices
+        .sortBy(c => dist2(centroids(c), query)).take(nProbe).toSet
+      vecs.filter { case (_, v) => probeSet.contains(nearest(cB.value, v)) }
+        .toDF("id", "vec")
+        .select(col("id"), cosineCol(col("vec"), query).as("sim"))
+        .orderBy(col("sim").desc, col("id").asc)
+        .limit(k)
+    } finally vecs.unpersist()
+  }
+
   /** LSH-bucketed ANN: candidates are vectors whose SRP signature lies
     * within `radius` hamming bits of the query's, exact cosine over the
     * candidates only. Expected scan fraction on unstructured data is

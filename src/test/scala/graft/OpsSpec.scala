@@ -164,6 +164,29 @@ class OpsSpec extends AnyFunSuite {
     assert(exact == (0 until 10).map(_.toLong).toSet)
   }
 
+  test("IVF ANN: probing a fraction of the lists keeps recall on clustered data") {
+    import spark.implicits._
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 1000L).toFloat / 1000f
+    }
+    val rows = for (b <- 0 until 20; c <- 0 until 10) yield {
+      val base = vec(300L + b, 32)
+      val noisy = base.zipWithIndex.map { case (x, j) =>
+        x + (SynthCorpus.hash64(400L + b, c.toLong, j.toLong) % 100L).toFloat / 2000f
+      }
+      ((b * 10 + c).toLong, noisy)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", q, 10,
+        nLists = 16, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall, exact=$exact ivf=$ivf")
+  }
+
   test("multimodal plumbing: binary payloads -> deterministic stub features") {
     import spark.implicits._
     val df = Seq((0L, "hello world"), (1L, ""), (2L, "abc")).toDF("doc_id", "text")
@@ -177,6 +200,15 @@ class OpsSpec extends AnyFunSuite {
     val resized = graft.ops.Multimodal.resize(media, 32, 32).collect()
     assert(resized.forall(r => r.width == 32 && r.height == 32))
     assert(resized.map(_.media.length).sum == feats.map(_.byteLen).sum)
+    // frame sampling: only video rows explode; every stride-th frame slice
+    val long = Seq((2L, "x" * 300)).toDF("doc_id", "text") // id % 3 == 2 -> video
+    val frames = graft.ops.Multimodal.frameSample(
+      graft.ops.Multimodal.fakeMediaTable(long, "doc_id", "text"),
+      stride = 2, frameBytes = 64).collect().sortBy(_.frame)
+    assert(frames.map(_.frame).toSeq == Seq(0, 2)) // 300/64 = 4 full frames -> 0,2
+    assert(frames.forall(f => f.payload.length <= 64 && f.id == 2L))
+    assert(graft.ops.Multimodal.frameSample(media, 2, 64).collect()
+      .forall(f => f.id % 3 == 2))
   }
 
   test("text quality metrics pinned semantics") {
