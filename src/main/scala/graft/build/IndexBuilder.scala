@@ -64,6 +64,7 @@ object IndexBuilder {
   def segmentsDir(ix: String) = s"$ix/segments"
   def docstatsDir(ix: String) = s"$ix/docstats"
   def lexiconDir(ix: String) = s"$ix/lexicon"
+  def lexgramsDir(ix: String) = s"$ix/lexgrams"
   def manifestsDir(ix: String) = s"$ix/manifests"
   def statsPath(ix: String) = s"$ix/stats.json"
   def stagingDir(ix: String) = s"$ix/staging"
@@ -388,7 +389,10 @@ object IndexBuilder {
   }
 
   /** global lexicon: term -> corpus-wide df, range-partitioned + sorted so
-    * query-term lookups prune to one file / few row groups */
+    * query-term lookups prune to one file / few row groups. A 3-gram
+    * sidecar (gram -> term, gram-sorted) makes UNPREFIXED multiterm
+    * expansion (fuzzy, infix wildcards) a pruned gram lookup instead of a
+    * full lexicon pass (Searcher.scanMulti). */
   def writeLexicon(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
     val seg = spark.read.parquet(segmentsDir(indexDir))
@@ -397,7 +401,20 @@ object IndexBuilder {
       .repartitionByRange(lexPartitions, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
+    spark.read.parquet(lexiconDir(indexDir))
+      .select($"term").as[String]
+      .flatMap(t => grams3(t).iterator.map(g => (g, t)))
+      .toDF("gram", "term")
+      .repartitionByRange(lexPartitions, $"gram")
+      .sortWithinPartitions("gram", "term")
+      .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
   }
+
+  /** distinct character 3-grams of a term (terms shorter than 3 chars have
+    * none and always take the full-scan fallback) */
+  def grams3(t: String): Array[String] =
+    if (t.length < 3) Array.empty
+    else Array.tabulate(t.length - 2)(i => t.substring(i, i + 3)).distinct
 
   // ---- manifests / stats ----
 

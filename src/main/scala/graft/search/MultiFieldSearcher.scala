@@ -60,25 +60,14 @@ object MultiFieldSearcher {
     val q0 = applyFieldBoosts(QueryParser.parse(query,
       chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
       mh.boostOf)
-    // multiterm expansion against the NODE'S FIELD's lexicon
+    // multiterm expansion against the NODE'S FIELD's lexicon (same pruned
+    // scan regimes as the single-field path)
     val q = if (q0.hasPrefix) {
-      QueryRewrite.expandPrefixes(q0, { mq =>
+      QueryRewrite.expandPrefixes(q0, mq =>
         mh.handles.get(mq.field) match {
-          case None => Seq.empty
-          case Some(h) =>
-            val base =
-              if (mq.scanPrefix.nonEmpty) h.lexicon.filter($"term".startsWith(mq.scanPrefix))
-              else h.lexicon
-            val matched = mq match {
-              case _: QPrefix           => base
-              case w: QWildcard         => base.filter($"term".rlike("^" + w.regexStr + "$"))
-              case QFuzzy(t, d, _, _)   => base.filter(levenshtein($"term", lit(t)) <= d)
-              case QRange(lo, hi, _, _) => h.lexicon.filter($"term" >= lo && $"term" <= hi)
-            }
-            matched.orderBy($"term").limit(QMulti.MaxExpand)
-              .select($"term").as[String].collect().toSeq
-        }
-      })
+          case None    => Seq.empty
+          case Some(h) => Searcher.scanMulti(spark, h, mq)
+        })
     } else q0
     val ft = q.fieldTerms
     if (q == QEmpty || ft.isEmpty) return spark.emptyDataset[SearchHit]

@@ -42,7 +42,8 @@ object Searcher {
                           val segSize: Int,
                           val segments: DataFrame, val lexicon: DataFrame,
                           val delRanges: Map[Int, Seq[Long]],
-                          val chain: graft.analysis.Chain = graft.analysis.Chain.Standard) {
+                          val chain: graft.analysis.Chain = graft.analysis.Chain.Standard,
+                          val lexgrams: Option[DataFrame] = None) {
     def hasDeletes: Boolean = delRanges.nonEmpty
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
@@ -68,11 +69,62 @@ object Searcher {
       else manifests.iterator.map { m =>
         m.segId -> m.coverSet.map(_.toLong).filter(delRids)
       }.filter(_._2.nonEmpty).toMap
+    val lexgrams =
+      if (fs.exists(new org.apache.hadoop.fs.Path(IndexBuilder.lexgramsDir(indexDir))))
+        Some(spark.read.parquet(IndexBuilder.lexgramsDir(indexDir)))
+      else None
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
       st.segSize, segments,
       spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
       delRanges,
-      new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)))
+      new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)),
+      lexgrams)
+  }
+
+  /** Multiterm expansion against the global lexicon: matching terms in
+    * ascending order, capped at QMulti.MaxExpand. Three scan regimes, best
+    * first:
+    *  1. prefix-narrowed (pushed StartsWith prunes row groups on the
+    *     term-sorted lexicon) — prefix/anchored-wildcard/range;
+    *  2. gram-pruned: unprefixed fuzzy/wildcard probe the 3-gram sidecar
+    *     (pushed gram IN (...)), superset-guaranteed — a fuzzy within d
+    *     edits of t shares a 3-gram of t when len(t) >= 3d + 3; a wildcard
+    *     match contains every gram of its longest literal run;
+    *  3. full lexicon pass — only for terms too short for the guarantee or
+    *     indexes without the sidecar. */
+  private[graft] def scanMulti(spark: SparkSession, handle: IndexHandle,
+                               mq: QMulti): Seq[String] = {
+    import spark.implicits._
+    val finish: DataFrame => Seq[String] = df =>
+      df.orderBy($"term").limit(QMulti.MaxExpand)
+        .select($"term").as[String].collect().toSeq
+
+    def gramProbe(grams: Seq[String]): Option[DataFrame] =
+      handle.lexgrams.filter(_ => grams.nonEmpty).map { lg =>
+        lg.filter($"gram".isin(grams: _*)).select($"term").distinct()
+      }
+
+    mq match {
+      case QRange(lo, hi, _, _) =>
+        finish(handle.lexicon.filter($"term" >= lo && $"term" <= hi))
+      case _: QPrefix =>
+        finish(handle.lexicon.filter($"term".startsWith(mq.scanPrefix)))
+      case w: QWildcard =>
+        val base =
+          if (w.scanPrefix.nonEmpty) handle.lexicon.filter($"term".startsWith(w.scanPrefix))
+          else {
+            val runs = w.pattern.split("[*?]+").filter(_.length >= 3)
+            val longest = if (runs.isEmpty) "" else runs.maxBy(_.length)
+            gramProbe(IndexBuilder.grams3(longest).toSeq).getOrElse(handle.lexicon)
+          }
+        finish(base.filter($"term".rlike("^" + w.regexStr + "$")))
+      case QFuzzy(t, d, _, _) =>
+        val base =
+          if (t.length >= 3 * d + 3)
+            gramProbe(IndexBuilder.grams3(t).toSeq).getOrElse(handle.lexicon)
+          else handle.lexicon
+        finish(base.filter(levenshtein($"term", lit(t)) <= d))
+    }
   }
 
   /** global df for the query's terms: one pruned lexicon scan for the
@@ -105,26 +157,11 @@ object Searcher {
   def searchQ(spark: SparkSession, handle: IndexHandle, q0: Q, k: Int,
               prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
-    // multiterm expansion: one pruned lexicon scan per node — the node's
-    // predicate is pushed into Spark (StartsWith/range prune row groups;
-    // wildcard -> rlike; fuzzy -> built-in levenshtein), ascending-term
-    // order, capped at QMulti.MaxExpand
-    val q = if (q0.hasPrefix) {
-      QueryRewrite.expandPrefixes(q0, { mq =>
-        val base =
-          if (mq.scanPrefix.nonEmpty)
-            handle.lexicon.filter($"term".startsWith(mq.scanPrefix))
-          else handle.lexicon
-        val matched = mq match {
-          case _: QPrefix          => base
-          case w: QWildcard        => base.filter($"term".rlike("^" + w.regexStr + "$"))
-          case QFuzzy(t, d, _, _)  => base.filter(levenshtein($"term", lit(t)) <= d)
-          case QRange(lo, hi, _, _) => handle.lexicon.filter($"term" >= lo && $"term" <= hi)
-        }
-        matched.orderBy($"term").limit(QMulti.MaxExpand)
-          .select($"term").as[String].collect().toSeq
-      })
-    } else q0
+    // multiterm expansion: one pruned scan per node (scanMulti — pushed
+    // StartsWith / gram-probe / range), ascending-term, MaxExpand-capped
+    val q = if (q0.hasPrefix)
+      QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
+    else q0
     val terms = q.terms
     if (q == QEmpty || terms.isEmpty)
       return spark.emptyDataset[SearchHit]

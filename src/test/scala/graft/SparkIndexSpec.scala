@@ -161,8 +161,17 @@ class SparkIndexSpec extends AnyFunSuite {
       "s11" -> "w1*9",
       "s12" -> "w0001~1",                   // fuzzy (many neighbors, capped)
       "s13" -> "[w0005 TO w0011]",          // term range
-      "s14" -> "[alpha TO beta] AND w0002")
+      "s14" -> "[alpha TO beta] AND w0002",
+      // unprefixed multiterm on long-enough terms: the 3-gram sidecar path
+      // (len >= 3d+3 for fuzzy; a literal run >= 3 for infix wildcards)
+      "s15" -> "needla~1",
+      "s16" -> "*eedl* OR w0003",
+      "s17" -> "w0001~1")                   // short term: full-scan fallback
     assertSearchesMatchOracle(dir, docs, queries)
+    // the gram sidecar exists and the long-term fuzzy actually matches
+    assert(Searcher.open(spark, dir).lexgrams.nonEmpty)
+    val h = Searcher.open(spark, dir)
+    assert(Searcher.search(spark, h, "needla~1", 5).count() > 0)
   }
 
   test("merge/compaction preserves search results and digest-invariant content") {
