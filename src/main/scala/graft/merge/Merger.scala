@@ -107,9 +107,12 @@ object Merger {
 
     // real metrics for the merged manifest — same digest/row/byte contract
     // as a fresh build (BASELINE.json "per-partition lineage and
-    // row-count/sha256 metrics" must survive compaction)
-    val (postRows, postBytes, digest) = IndexBuilder.postingMetrics(spark, staging)
-      .getOrElse(targetId, (0L, 0L, "0" * 32))
+    // row-count/sha256 metrics" must survive compaction). A fully-
+    // tombstoned group writes no files at all — empty metrics.
+    val (postRows, postBytes, digest) =
+      if (!fs.exists(new Path(s"$staging/segId=$targetId"))) (0L, 0L, "0" * 32)
+      else IndexBuilder.postingMetrics(spark, staging)
+        .getOrElse(targetId, (0L, 0L, "0" * 32))
 
     // docstats: the group's sidecars re-keyed under the fresh segId (the
     // sidecar is keyed by docId; segId is only physical placement)
@@ -127,11 +130,19 @@ object Merger {
     filtered.withColumn("segId", lit(targetId))
       .write.mode(SaveMode.Overwrite).partitionBy("segId").parquet(dsStaging)
 
-    // 1. promote into place under the fresh segId
-    require(fs.rename(new Path(s"$staging/segId=$targetId"),
-      new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$targetId")))
-    require(fs.rename(new Path(s"$dsStaging/segId=$targetId"),
-      new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$targetId")))
+    // 1. promote into place under the fresh segId (a group whose docs were
+    // ALL tombstoned writes no partition dir — commit an empty segment)
+    def promote(from: String, to: String): Unit = {
+      val src = new Path(from)
+      val dst = new Path(to)
+      if (!fs.exists(src)) { fs.mkdirs(dst); return }
+      if (!fs.exists(dst.getParent)) fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"promote failed: $from -> $to")
+    }
+    promote(s"$staging/segId=$targetId",
+      s"${IndexBuilder.segmentsDir(indexDir)}/segId=$targetId")
+    promote(s"$dsStaging/segId=$targetId",
+      s"${IndexBuilder.docstatsDir(indexDir)}/segId=$targetId")
     fs.delete(new Path(staging), true)
     fs.delete(new Path(dsStaging), true)
 

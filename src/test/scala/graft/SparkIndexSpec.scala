@@ -322,6 +322,26 @@ class SparkIndexSpec extends AnyFunSuite {
     assertSearchesMatchOracle(dir, liveDocs, Seq("u1" -> "w0000", "u2" -> "qqfresh"))
   }
 
+  test("merging a fully-tombstoned group commits an empty segment cleanly") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(41L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("alldel")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 20))
+    // tombstone EVERY doc of segment 0 (ids 0..19), then merge just it
+    graft.build.Deletes.add(spark, dir, (0L until 20L).toSeq)
+    Merger.mergeGroup(spark, dir, Seq(0), (0L until 20L).toSet)
+    val ms = IndexBuilder.readManifests(fsOf(dir), dir)
+    assert(ms.map(_.segId).toSet == Set(1, 2))
+    assert(ms.find(_.segId == 2).get.docCount == 0)
+    // survivors (segment 1) still searchable, deleted docs gone physically
+    val h = Searcher.open(spark, dir)
+    val hits = Searcher.search(spark, h, "w0000", 100).collect().map(_.docId)
+    assert(hits.nonEmpty && hits.forall(_ >= 20L))
+  }
+
   test("merge with deletes purges tombstoned docs") {
     import spark.implicits._
     val rows = (0 until 60).map { i =>
