@@ -276,10 +276,10 @@ object IndexBuilder {
                 curSeg = a.segId
               }
               lastDocId = a.docId
-              TermsBlob.foreachEntry(a.blob) { e =>
-                var enc = builders.get(e.term)
-                if (enc == null) { enc = new PostingsCodec.Encoder; builders.put(e.term, enc) }
-                enc.addEncoded(a.docId, e.tf, a.lenByte, a.blob, e.posOff, e.posLen)
+              TermsBlob.foreachEntryFields(a.blob) { (term, tf, posOff, posLen) =>
+                var enc = builders.get(term)
+                if (enc == null) { enc = new PostingsCodec.Encoder; builders.put(term, enc) }
+                enc.addEncoded(a.docId, tf, a.lenByte, a.blob, posOff, posLen)
               }
             }
             if (pending.isEmpty && !docsIt.hasNext && !builders.isEmpty) flushSeg()
@@ -369,14 +369,17 @@ object IndexBuilder {
     spark.read.parquet(path)
       .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
       .groupByKey(_.segId).mapGroups { (segId, it) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val ints = java.nio.ByteBuffer.allocate(8)
         val dig = new Array[Byte](16)
         var n = 0L
         var bytes = 0L
         it.foreach { r =>
-          val md = java.security.MessageDigest.getInstance("SHA-256")
+          md.reset()
           md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           md.update(0.toByte)
-          md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
+          ints.clear()
+          md.update(ints.putInt(r.df).putInt(r.maxTf).array())
           md.update(r.blocks)
           val h = md.digest()
           var i = 0

@@ -35,7 +35,13 @@ object TermsBlob {
   /** one decoded entry; posOff/posLen delimit the wire-form positions bytes */
   final case class Entry(term: String, tf: Int, posOff: Int, posLen: Int)
 
-  def foreachEntry(blob: Array[Byte])(f: Entry => Unit): Unit = {
+  def foreachEntry(blob: Array[Byte])(f: Entry => Unit): Unit =
+    foreachEntryFields(blob)((term, tf, posOff, posLen) =>
+      f(Entry(term, tf, posOff, posLen)))
+
+  /** allocation-lean variant: fields passed positionally (no Entry box) —
+    * the build's hot path visits one entry per (doc, distinct term) */
+  def foreachEntryFields(blob: Array[Byte])(f: (String, Int, Int, Int) => Unit): Unit = {
     val r = new Varint.Reader(blob)
     val numTerms = r.readVarInt()
     var i = 0
@@ -47,7 +53,7 @@ object TermsBlob {
       val posOff = r.pos
       var j = 0
       while (j < tf) { r.readVarInt(); j += 1 } // skip over positions
-      f(Entry(term, tf, posOff, r.pos - posOff))
+      f(term, tf, posOff, r.pos - posOff)
       i += 1
     }
   }
