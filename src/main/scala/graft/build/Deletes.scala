@@ -109,9 +109,11 @@ object Deletes {
     val out = fs.create(tmp, true)
     out.write(w.toBytes)
     out.close()
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
-    ()
+    // OVERWRITING rename: a delete-then-rename pair would leave a crash
+    // window with NO range file at all (tmp's dotted name is invisible to
+    // listRanges), silently resurrecting every tombstone in the range
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   def decode(bytes: Array[Byte]): Array[Long] = {

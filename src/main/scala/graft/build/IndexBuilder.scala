@@ -398,7 +398,13 @@ object IndexBuilder {
     * full lexicon pass (Searcher.scanMulti). */
   def writeLexicon(spark: SparkSession, indexDir: String): Unit = {
     import spark.implicits._
+    // manifest-filtered segment set: superseded/orphaned dirs a crashed
+    // merge left behind must not double-count into the global df
+    val fsLex = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val liveLex = readManifests(fsLex, indexDir).map(_.segId)
     val seg = spark.read.parquet(segmentsDir(indexDir))
+      .filter(col("segId").isin(liveLex: _*))
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     seg.groupBy($"term").agg(sum($"df").cast("long").as("df"))
       .repartitionByRange(lexPartitions, $"term")

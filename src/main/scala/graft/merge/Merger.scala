@@ -48,11 +48,27 @@ object Merger {
       spark.sparkContext.hadoopConfiguration)
     val sorted = group.sorted
     val live = IndexBuilder.readManifests(fs, indexDir)
+    // GC crash leftovers BEFORE picking the target id: a crash between
+    // promote and manifest write leaves segId dirs with no live manifest —
+    // a rerun recomputes the same target (max live segId + 1) and the
+    // promote rename would collide. Readers trust manifests only, so any
+    // segments/docstats dir without one is garbage (this also sweeps
+    // superseded dirs left by a crash after the manifest commit, which
+    // would otherwise double-count into the next lexicon rebuild).
+    gcOrphanDirs(fs, indexDir, live.map(_.segId).toSet)
     val target = live.map(_.segId).max + 1
     val manifests = live.filter(m => sorted.contains(m.segId))
     require(manifests.size == sorted.size, s"missing manifests for $sorted")
 
-    val delB = spark.sparkContext.broadcast(deletes)
+    // tombstones ride as a broadcast SORTED ARRAY probed by binary search
+    // (exactly like the query kernel) — never as Catalyst literals: a full
+    // compaction of a heavily-deleted index can carry 10^5-10^6 ids, and an
+    // `isin` of that many literals bloats the plan toward driver OOM
+    val delB = spark.sparkContext.broadcast {
+      val a = deletes.toArray
+      java.util.Arrays.sort(a)
+      a
+    }
     val targetId = target
 
     // concatenation order = docId order = the segments' docLo order. With
@@ -82,7 +98,7 @@ object Merger {
       val ordered = runs.sortBy(r => docLoRank(r.segId))
       val dels = delB.value
       val it = ordered.iterator.flatMap(r => PostingsCodec.decodeIterator(r.blocks))
-        .filterNot(p => dels.contains(p.docId))
+        .filterNot(p => java.util.Arrays.binarySearch(dels, p.docId) >= 0)
       val enc = PostingsCodec.encode(it)
       if (enc.df == 0) None else Some(SegRow(targetId, term, enc.df, enc.maxTf, enc.bytes))
     }
@@ -122,7 +138,13 @@ object Merger {
       spark.read.parquet(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$id")
     }.reduce(_ unionByName _)
     val filtered = if (deletes.isEmpty) docstats
-      else docstats.filter(!$"docId".isin(deletes.toSeq: _*))
+      else {
+        // same broadcast binary-search probe as mergeRuns (bounded by the
+        // group's ranges but NOT by literal-count — see delB note above)
+        val docIdIdx = docstats.schema.fieldIndex("docId")
+        docstats.filter((r: org.apache.spark.sql.Row) =>
+          java.util.Arrays.binarySearch(delB.value, r.getLong(docIdIdx)) < 0)
+      }
     val (mergedDocCount, mergedRawLen) = {
       val r = filtered.agg(count(lit(1)), sum($"rawLen")).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -169,6 +191,22 @@ object Merger {
       fs.delete(new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$id"), true)
     }
     targetId
+  }
+
+  /** delete segments/docstats `segId=N` dirs whose N has no live manifest
+    * (single-writer assumption: no build or merge runs concurrently) */
+  private[graft] def gcOrphanDirs(fs: FileSystem, indexDir: String,
+                                  live: Set[Int]): Unit = {
+    Seq(IndexBuilder.segmentsDir(indexDir), IndexBuilder.docstatsDir(indexDir))
+      .foreach { d =>
+        val p = new Path(d)
+        if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("segId=") &&
+              n.stripPrefix("segId=").toIntOption.exists(id => !live.contains(id)))
+            fs.delete(st.getPath, true)
+        }
+      }
   }
 
   /** hierarchical compaction: repeatedly merge adjacent groups of

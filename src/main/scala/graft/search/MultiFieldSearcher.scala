@@ -22,7 +22,11 @@ object MultiFieldSearcher {
 
   final class MultiHandle(val root: String, val fields: Seq[FieldSpec],
                           val handles: Map[String, IndexHandle]) {
-    def defaultHandle: IndexHandle = handles(Q.DefaultField)
+    /** the schema's first field is the default for unqualified terms (the
+      * reference's QueryParser(default_field, schema) takes it from the
+      * schema, not a hardcoded name) */
+    val defaultField: String = fields.head.name
+    def defaultHandle: IndexHandle = handles(defaultField)
     val boostOf: Map[String, Double] = fields.map(f => f.name -> f.boost).toMap
   }
 
@@ -30,9 +34,15 @@ object MultiFieldSearcher {
     val handles = fields.map(f =>
       f.name -> Searcher.open(spark, MultiFieldIndex.fieldDir(root, f.name))).toMap
     // segment grouping relies on aligned segId ranges across field indexes:
-    // same segSize, and any compaction applied identically per field
+    // same segSize, IDENTICAL live segment layout (compacting one field but
+    // not another would split per-segment lists — wrong AND/OR results), and
+    // any compaction applied identically per field
     require(handles.values.map(_.segSize).toSet.size == 1,
       "field indexes disagree on segSize")
+    val segSets = handles.view.mapValues(_.liveSegIds.toSet).toMap
+    require(segSets.values.toSet.size == 1,
+      s"field indexes disagree on live segment layout " +
+        s"(compact all fields together): ${segSets.view.mapValues(_.toSeq.sorted).toMap}")
     new MultiHandle(root, fields, handles)
   }
 
@@ -47,17 +57,19 @@ object MultiFieldSearcher {
       case m: QWildcard => m.copy(boost = m.boost * bf(m.field))
       case m: QFuzzy    => m.copy(boost = m.boost * bf(m.field))
       case m: QRange    => m.copy(boost = m.boost * bf(m.field))
-      case QAnd(cs)     => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
-      case QOr(cs)      => QOr(cs.map(applyFieldBoosts(_, boostOf)))
-      case QNot(p, n)   => QNot(applyFieldBoosts(p, boostOf), applyFieldBoosts(n, boostOf))
-      case other        => other
+      case QAnd(cs)        => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
+      case QOr(cs)         => QOr(cs.map(applyFieldBoosts(_, boostOf)))
+      case QNot(p, n)      => QNot(applyFieldBoosts(p, boostOf), applyFieldBoosts(n, boostOf))
+      case QAndMaybe(p, m) => QAndMaybe(applyFieldBoosts(p, boostOf), applyFieldBoosts(m, boostOf))
+      case QRequire(p, f)  => QRequire(applyFieldBoosts(p, boostOf), applyFieldBoosts(f, boostOf))
+      case other           => other
     }
   }
 
   def search(spark: SparkSession, mh: MultiHandle, query: String, k: Int = 10,
              prune: Boolean = true): Dataset[SearchHit] = {
     import spark.implicits._
-    val q0 = applyFieldBoosts(QueryParser.parse(query,
+    val q0 = applyFieldBoosts(QueryParser.parse(query, defaultField = mh.defaultField,
       chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
       mh.boostOf)
     // multiterm expansion against the NODE'S FIELD's lexicon (same pruned

@@ -43,7 +43,8 @@ object Searcher {
                           val segments: DataFrame, val lexicon: DataFrame,
                           val delRanges: Map[Int, Seq[Long]],
                           val chain: graft.analysis.Chain = graft.analysis.Chain.Standard,
-                          val lexgrams: Option[DataFrame] = None) {
+                          val lexgrams: Option[DataFrame] = None,
+                          val liveSegIds: Seq[Int] = Seq.empty) {
     def hasDeletes: Boolean = delRanges.nonEmpty
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
@@ -78,7 +79,8 @@ object Searcher {
       spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
       delRanges,
       new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)),
-      lexgrams)
+      lexgrams,
+      liveSegs)
   }
 
   /** Multiterm expansion against the global lexicon: matching terms in
