@@ -68,6 +68,21 @@ object SparkEntry {
       dir
     })
 
+  /** fresh index + delete-by-query of every doc matching 'spark' */
+  private val builtDq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteQueryIndexFor(spark: SparkSession, sfDir: String): String =
+    builtDq.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft-dqindex-$FormatVersion-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      IndexBuilder.build(spark, CorpusSource.fromDocumentsTable(spark, sfDir),
+        dir, IndexConfig(segSize = 128))
+      graft.build.Deletes.byQuery(spark, dir, "spark")
+      dir
+    })
+
   /** Flagship: build the index on sf0.001 and run a BM25 search with stored
     * fields; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -78,12 +93,13 @@ object SparkEntry {
   /** engine top-k re-ranked on round(score,6) with docId tie-break, so the
     * FP-rounded DuckDB comparison is stable (exact ties already break by
     * docId identically in both engines) */
-  private def topk(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+  private def topk(spark: SparkSession, sfDir: String, query: String,
+                   weighting: graft.search.Weighting = graft.search.BM25Weighting): DataFrame = {
     import spark.implicits._
     val dir = indexFor(spark, sfDir)
     val handle = Searcher.open(spark, dir)
     val kAll = handle.stats.numDocs.toInt + 1 // exhaustive margin at oracle scale
-    Searcher.search(spark, handle, query, kAll)
+    Searcher.search(spark, handle, query, kAll, weighting = weighting)
       .withColumn("r6", round($"score", 6))
       .orderBy($"r6".desc, $"docId".asc)
       .limit(10)
@@ -180,6 +196,25 @@ object SparkEntry {
     // query-time term boost (`term^2`, Whoosh parser surface):
     // effIdf = idf * boost, pinned in RefModel and the kernel alike
     "ft_topk_boost" -> ((s, dir) => topk(s, dir, "spark^2 OR merge")),
+    // sloppy phrase `"a b"~N` (Whoosh Phrase(slop=N), decision D8): ordered
+    // window chains, tf = distinct chain starts
+    "ft_topk_slop" -> ((s, dir) => topk(s, dir, "\"merge join\"~3")),
+    // pluggable weighting (reference search_documents(weighting=...)):
+    // Whoosh TF_IDF = tf * idf, length-independent
+    "ft_topk_tfidf" -> ((s, dir) =>
+      topk(s, dir, "spark OR merge", graft.search.TfIdfWeighting)),
+    // match-all (Whoosh Every) via top-level pure negation: "NOT spark" ==
+    // Every NOT spark, constant score 1.0, ties break by docid
+    "ft_topk_every" -> ((s, dir) => topk(s, dir, "NOT spark")),
+    // delete-by-query: tombstone every doc matching 'spark' (bulk
+    // executor-side sidecar writes), live set = the rest
+    "ft_delete_query" -> ((s, dir) => {
+      val ix = deleteQueryIndexFor(s, dir)
+      val dels = graft.build.Deletes.read(s, ix) // oracle-scale index only
+      s.read.parquet(IndexBuilder.docstatsDir(ix))
+        .filter(!col("docId").isin(dels.toSeq: _*))
+        .select(col("docId").as("docid"), col("repo"), col("path"))
+    }),
     // multi-field schema: field-qualified query over the two-field
     // (content + path) index, with a query boost on the path term
     "ft_topk_field" -> ((s, dir) => {
@@ -435,6 +470,22 @@ object SparkEntry {
       """SELECT docid, s AS score FROM contrib WHERE term = 'merge'
         | AND docid IN (SELECT docid FROM contrib WHERE term = 'join')"""
         .stripMargin.replace("\n", " "))),
+    // sloppy phrase (D8): ordered 2-term chain, gap in [1, slop]; tf =
+    // distinct first-term positions with a partner in the window
+    "ft_topk_slop" -> (cte + " " + rank(
+      s"""SELECT m.docid, (${idfOf("merge")} + ${idfOf("join")}) * (m.ptf * 2.2)
+         | / (m.ptf + 1.2 * (0.25 + 0.75 * fl.fl / (SELECT avgfl FROM params))) AS score
+         | FROM (SELECT t0.docid, count(DISTINCT t0.pos)::BIGINT AS ptf
+         |       FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+         |         AND t1.term = 'join' AND t1.pos > t0.pos AND t1.pos <= t0.pos + 3
+         |       WHERE t0.term = 'merge' GROUP BY t0.docid) m
+         | JOIN flens fl ON fl.docid = m.docid""".stripMargin.replace("\n", " "))),
+    // TF_IDF weighting: score = sum over matching terms of idf * tf
+    "ft_topk_tfidf" -> (cte + " " + rank(
+      """SELECT f.docid, sum((ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) * f.tf) AS score
+        | FROM tf f JOIN dft d USING (term) CROSS JOIN params p
+        | WHERE f.term IN ('spark','merge') GROUP BY f.docid"""
+        .stripMargin.replace("\n", " "))),
     "ft_topk_boost" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM (
         |  SELECT f.docid, (2.0 * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0)) * (f.tf * 2.2)
@@ -444,6 +495,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT docid, s FROM contrib WHERE term = 'merge'
         |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // Every-based pure negation: constant score 1.0 per surviving doc
+    "ft_topk_every" -> (cte + " " + rank(
+      """SELECT docid, 1.0 AS score FROM ids WHERE docid NOT IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'spark')"""
+        .stripMargin.replace("\n", " "))),
+    // delete-by-query 'spark': live docs = those without the token
+    "ft_delete_query" -> (cte +
+      """ SELECT docid, repo, path FROM ids WHERE docid NOT IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'spark')"""
+        .stripMargin.replace("\n", " ")),
     // two-field index: path field has one surviving token per doc (the 'd'
     // dir prefix is dropped by min-size), so fl = avgfl = 1 and df = 1
     "ft_topk_field" -> (cte + " " + rank(

@@ -42,6 +42,40 @@ object Deletes {
     }
   }
 
+  /** Distributed bulk tombstone write (the scale path for delete-by-query):
+    * ids shuffle ONCE on their build-layout range id and each range's
+    * sidecar is read-union-written from an executor task — a 10^8-row
+    * delete result never funnels through the driver. File format and
+    * overwrite-rename atomicity identical to `add`. */
+  def addBulk(spark: SparkSession, indexDir: String,
+              ids: org.apache.spark.sql.Dataset[Long]): Unit = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val segSize = IndexBuilder.readStats(fs, indexDir).segSize
+    val d = new Path(dir(indexDir))
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val dirLocal = indexDir
+    ids.groupByKey(_ / segSize).mapGroups { (rid, it) =>
+      val efs = FileSystem.get(new java.net.URI(dirLocal),
+        new org.apache.hadoop.conf.Configuration())
+      val merged = (readRange(efs, dirLocal, rid) ++ it).distinct.sorted
+      writeRange(efs, dirLocal, rid, merged)
+      rid
+    }.collect() // force; one tiny row per touched range
+    ()
+  }
+
+  /** Delete-by-query (reference surface: cockatrice deletes documents by id
+    * or query): every doc matching `query` is tombstoned. Matching ids
+    * stream from the per-segment kernels (Searcher.matchingIds — no top-k,
+    * no sort) straight into the bulk range writer. */
+  def byQuery(spark: SparkSession, indexDir: String, query: String): Unit = {
+    val handle = graft.search.Searcher.open(spark, indexDir)
+    addBulk(spark, indexDir,
+      graft.search.Searcher.matchingIds(spark, handle, query))
+  }
+
   /** rids that currently have tombstones (one cheap listing) */
   def listRanges(fs: FileSystem, indexDir: String): Set[Long] = {
     val d = new Path(dir(indexDir))

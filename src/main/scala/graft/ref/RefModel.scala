@@ -14,7 +14,8 @@ import graft.search._
   * to this model on the fixture corpus + query set (FIXTURES.md §3).
   */
 final class RefModel(docs: Seq[(Long, String)],
-                     analyzeFn: String => Analyzer.Analyzed = Analyzer.analyze) {
+                     analyzeFn: String => Analyzer.Analyzed = Analyzer.analyze,
+                     w: Weighting = BM25Weighting) {
 
   // term -> docId -> (tf, positions ascending)
   private val postings = mutable.HashMap.empty[String, mutable.HashMap[Long, Array[Int]]]
@@ -33,7 +34,7 @@ final class RefModel(docs: Seq[(Long, String)],
   val stats: BM25.CorpusStats = BM25.CorpusStats(numDocs, totalLen)
 
   def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
-  def idf(term: String): Double = BM25.idf(df(term), numDocs)
+  def idf(term: String): Double = w.idf(df(term), numDocs)
   private def fl(docId: Long): Int = LengthByte.roundtrip(rawLen(docId))
 
   private lazy val sortedTerms: Seq[String] = postings.keys.toSeq.sorted
@@ -48,22 +49,24 @@ final class RefModel(docs: Seq[(Long, String)],
     * into the idf factor: effIdf = idf * boost — the pinned form the kernel
     * replicates (Kernel.buildMatcher). */
   def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
-    case QEmpty      => None
-    case _: QPureNot => None
+    case QEmpty            => None
+    case _: QPureNot       => None
+    case QEvery(boost, _)  => Some(boost) // match-all, constant score
     case mq: QMulti => scoreDoc(QueryRewrite.expandPrefixes(mq, prefixLookup), docId)
     case QTerm(t, f, boost) =>
       if (f != field) None
       else postings.get(t).flatMap(_.get(docId)).map { ps =>
-        BM25.score(idf(t) * boost, ps.length, fl(docId), stats.avgFieldLen)
+        w.score(idf(t) * boost, ps.length, fl(docId), stats.avgFieldLen)
       }
-    case QPhrase(ts, f, boost) =>
+    case QPhrase(ts, f, boost, slop) =>
       if (f != field) None
       else {
-        val ptf = phraseTf(ts, docId)
+        val ptf = if (slop <= 1) phraseTf(ts, docId)
+                  else sloppyTf(ts.map(_._1), slop, docId)
         if (ptf == 0) None
         else {
           val sumIdf = ts.map { case (t, _) => idf(t) }.sum * boost
-          Some(BM25.score(sumIdf, ptf, fl(docId), stats.avgFieldLen))
+          Some(w.score(sumIdf, ptf, fl(docId), stats.avgFieldLen))
         }
       }
     case QAnd(cs) =>
@@ -78,6 +81,24 @@ final class RefModel(docs: Seq[(Long, String)],
       scoreDoc(p, docId).map(s => s + scoreDoc(m, docId).getOrElse(0.0))
     case QRequire(p, f) =>
       if (scoreDoc(f, docId).isEmpty) None else scoreDoc(p, docId)
+  }
+
+  /** sloppy phrase tf (D8, `"..."~N` with N > 1): number of first-term
+    * positions admitting an in-order chain with every consecutive gap in
+    * [1, slop] — brute-force over the position lists */
+  private def sloppyTf(ts: List[String], slop: Int, docId: Long): Int = {
+    val posLists: List[Array[Int]] = ts.map { t =>
+      postings.get(t).flatMap(_.get(docId)) match {
+        case Some(ps) => ps
+        case None     => return 0
+      }
+    }
+    def chain(rest: List[Array[Int]], prev: Int): Boolean = rest match {
+      case Nil => true
+      case ps :: tail =>
+        ps.exists(p => p > prev && p <= prev + slop && chain(tail, p))
+    }
+    posLists.head.count(p0 => chain(posLists.tail, p0))
   }
 
   /** number of occurrences of the position pattern ts in docId */

@@ -60,56 +60,66 @@ object Kernel {
     * per-field). Query/field boosts fold into the idf factor: pinned form
     * effIdf = idf(df, N) * boost, replicated by RefModel. */
   def buildMatcher(q: Q, lists: Map[String, TermList],
-                   statsOf: String => BM25.CorpusStats): Matcher = q match {
+                   statsOf: String => BM25.CorpusStats,
+                   w: Weighting = BM25Weighting): Matcher = q match {
     case QEmpty => EmptyMatcher
     case _: QPureNot => EmptyMatcher // parser-internal; never escapes parse
     case mq: QMulti => // expansion is GLOBAL (driver-side, lexicon order)
       throw new IllegalStateException(s"unexpanded multiterm query: $mq")
+    case QEvery(boost, f) =>
+      lists.get(key(f, Q.EveryTerm)) match {
+        case Some(tl) => new EveryMatcher(new TermCursor(tl.bytes), boost)
+        case None     => EmptyMatcher
+      }
     case QTerm(t, f, boost) =>
       lists.get(key(f, t)) match {
         case Some(tl) =>
           val st = statsOf(f)
-          new TermMatcher(tl.bytes, BM25.idf(tl.globalDf, st.numDocs) * boost,
-            tl.maxTf, st.avgFieldLen)
+          new TermMatcher(tl.bytes, w.idf(tl.globalDf, st.numDocs) * boost,
+            tl.maxTf, st.avgFieldLen, w)
         case None => EmptyMatcher
       }
-    case QPhrase(ts, f, boost) =>
+    case QPhrase(ts, f, boost, slop) =>
       val st = statsOf(f)
       val tls = ts.map { case (t, off) => (lists.get(key(f, t)), off) }
       if (tls.exists(_._1.isEmpty)) EmptyMatcher
       else {
         val cursors = tls.map { case (tl, off) => (new TermCursor(tl.get.bytes), off) }.toArray
         val sumIdf = ts.map { case (t, _) =>
-          BM25.idf(lists(key(f, t)).globalDf, st.numDocs)
+          w.idf(lists(key(f, t)).globalDf, st.numDocs)
         }.sum * boost
         val maxTfBound = tls.map(_._1.get.maxTf).min
-        new PhraseMatcher(cursors, sumIdf, maxTfBound, st.avgFieldLen)
+        if (slop <= 1)
+          new PhraseMatcher(cursors, sumIdf, maxTfBound, st.avgFieldLen, w)
+        else
+          new SloppyPhraseMatcher(cursors.map(_._1), slop, sumIdf, maxTfBound,
+            st.avgFieldLen, w)
       }
     case QAnd(cs) =>
-      val ms = cs.map(buildMatcher(_, lists, statsOf))
+      val ms = cs.map(buildMatcher(_, lists, statsOf, w))
       if (ms.exists(_ eq EmptyMatcher)) EmptyMatcher else new AndMatcher(ms.toArray)
     case QOr(cs) =>
-      val ms = cs.map(buildMatcher(_, lists, statsOf)).filterNot(_ eq EmptyMatcher)
+      val ms = cs.map(buildMatcher(_, lists, statsOf, w)).filterNot(_ eq EmptyMatcher)
       ms match {
         case Nil      => EmptyMatcher
         case m :: Nil => m
         case _        => new OrMatcher(ms.toArray)
       }
     case QNot(p, n) =>
-      val pm = buildMatcher(p, lists, statsOf)
-      val nm = buildMatcher(n, lists, statsOf)
+      val pm = buildMatcher(p, lists, statsOf, w)
+      val nm = buildMatcher(n, lists, statsOf, w)
       if (pm eq EmptyMatcher) EmptyMatcher
       else if (nm eq EmptyMatcher) pm
       else new NotMatcher(pm, nm)
     case QAndMaybe(p, m) =>
-      val pm = buildMatcher(p, lists, statsOf)
-      val mm = buildMatcher(m, lists, statsOf)
+      val pm = buildMatcher(p, lists, statsOf, w)
+      val mm = buildMatcher(m, lists, statsOf, w)
       if (pm eq EmptyMatcher) EmptyMatcher
       else if (mm eq EmptyMatcher) pm
       else new AndMaybeMatcher(pm, mm)
     case QRequire(p, f) =>
-      val pm = buildMatcher(p, lists, statsOf)
-      val fm = buildMatcher(f, lists, statsOf)
+      val pm = buildMatcher(p, lists, statsOf, w)
+      val fm = buildMatcher(f, lists, statsOf, w)
       if ((pm eq EmptyMatcher) || (fm eq EmptyMatcher)) EmptyMatcher
       else new RequireMatcher(pm, fm)
   }
@@ -119,9 +129,10 @@ object Kernel {
     * every term on the default field. */
   def topK(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
            k: Int, prune: Boolean = true,
-           deleted: Long => Boolean = NoDeletes): Array[Hit] =
+           deleted: Long => Boolean = NoDeletes,
+           w: Weighting = BM25Weighting): Array[Hit] =
     topKMulti(q, lists.map { case (t, tl) => key(Q.DefaultField, t) -> tl },
-      _ => stats, k, prune, deleted)
+      _ => stats, k, prune, deleted, w)
 
   /** Segment top-k over field-keyed lists. `prune = false` forces
     * exhaustive evaluation (the WAND-equivalence property-test path).
@@ -130,19 +141,20 @@ object Kernel {
   def topKMulti(q: Q, lists: Map[String, TermList],
                 statsOf: String => BM25.CorpusStats,
                 k: Int, prune: Boolean = true,
-                deleted: Long => Boolean = NoDeletes): Array[Hit] = {
+                deleted: Long => Boolean = NoDeletes,
+                w: Weighting = BM25Weighting): Array[Hit] = {
     val heap = new TopK(k)
     q match {
       case QOr(cs) if prune =>
-        val ms = cs.map(buildMatcher(_, lists, statsOf)).filterNot(_ eq EmptyMatcher)
+        val ms = cs.map(buildMatcher(_, lists, statsOf, w)).filterNot(_ eq EmptyMatcher)
         if (ms.nonEmpty) wandOr(ms.toArray, heap, deleted)
       case QTerm(_, _, _) if prune =>
-        buildMatcher(q, lists, statsOf) match {
+        buildMatcher(q, lists, statsOf, w) match {
           case tm: TermMatcher => singleTerm(tm, heap, deleted)
           case _               => ()
         }
       case _ =>
-        val m = buildMatcher(q, lists, statsOf)
+        val m = buildMatcher(q, lists, statsOf, w)
         while (m.docId != Long.MaxValue) {
           if (!deleted(m.docId)) heap.offer(m.docId, m.score)
           m.advance()
@@ -152,6 +164,30 @@ object Kernel {
   }
 
   val NoDeletes: Long => Boolean = _ => false
+
+  /** EVERY matching docId in the segment (the delete-by-query feed):
+    * exhaustive matcher traversal, no heap, tombstoned docs excluded.
+    * Lists are plain-term keyed like topK. */
+  def allMatches(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
+                 deleted: Long => Boolean = NoDeletes): Iterator[Long] = {
+    val m = buildMatcher(q,
+      lists.map { case (t, tl) => key(Q.DefaultField, t) -> tl }, _ => stats)
+    new Iterator[Long] {
+      private var cur = settle(m.docId)
+      private def settle(d0: Long): Long = {
+        var d = d0
+        while (d != Long.MaxValue && deleted(d)) { m.advance(); d = m.docId }
+        d
+      }
+      def hasNext: Boolean = cur != Long.MaxValue
+      def next(): Long = {
+        val d = cur
+        m.advance()
+        cur = settle(m.docId)
+        d
+      }
+    }
+  }
 
   /** single-list traversal with block-max skipping */
   private def singleTerm(tm: TermMatcher, heap: TopK, deleted: Long => Boolean): Unit = {

@@ -35,19 +35,31 @@ object EmptyMatcher extends Matcher {
 
 /** Leaf over one term's encoded posting list. */
 final class TermMatcher(bytes: Array[Byte], idf: Double, rowMaxTf: Int,
-                        avgfl: Double) extends Matcher {
+                        avgfl: Double, w: Weighting = BM25Weighting) extends Matcher {
   private val cur = new TermCursor(bytes)
-  val maxScore: Double = BM25.upperBound(idf, rowMaxTf)
+  val maxScore: Double = w.upperBound(idf, rowMaxTf)
   def docId: Long = cur.docId
   def advance(): Unit = cur.next()
   def skipTo(target: Long): Unit = cur.skipTo(target)
   def score: Double =
-    BM25.score(idf, cur.tf, LengthByte.decode(cur.lenByte), avgfl)
+    w.score(idf, cur.tf, LengthByte.decode(cur.lenByte), avgfl)
   def currentUpperBound: Double =
-    if (cur.docId == Long.MaxValue) 0.0 else BM25.upperBound(idf, cur.blockMaxTf)
+    if (cur.docId == Long.MaxValue) 0.0 else w.upperBound(idf, cur.blockMaxTf)
   /** skip the rest of the current block (single-term block-max pruning) */
   def skipCurrentBlock(): Unit =
     if (cur.docId != Long.MaxValue) cur.skipTo(cur.blockLastDocId + 1)
+}
+
+/** Match-all over the segment's live doc list (QEvery): iterates the
+  * pseudo posting list the searcher builds from the docstats sidecar;
+  * CONSTANT score = boost (Whoosh Every semantics). */
+final class EveryMatcher(cur: TermCursor, boost: Double) extends Matcher {
+  val maxScore: Double = boost
+  def docId: Long = cur.docId
+  def advance(): Unit = cur.next()
+  def skipTo(target: Long): Unit = cur.skipTo(target)
+  def score: Double = boost
+  def currentUpperBound: Double = if (cur.docId == Long.MaxValue) 0.0 else boost
 }
 
 /** Intersection: doc matches iff all children match; score = sum of child
@@ -207,12 +219,86 @@ final class RequireMatcher(pos: Matcher, filter: Matcher) extends Matcher {
   def currentUpperBound: Double = pos.currentUpperBound
 }
 
+/** Sloppy phrase (`"a b"~N` with N > 1, decision D8): surviving terms must
+  * occur IN ORDER with each consecutive matched pair's position gap in
+  * [1, slop]; tf = number of distinct first-term positions admitting a full
+  * chain; idf = sum of constituent idfs (as D3). The per-base probe is a
+  * bounded depth-first search (<= slop candidates per level over sorted
+  * position arrays — phrase lengths and slops are small). */
+final class SloppyPhraseMatcher(terms: Array[TermCursor], slop: Int,
+                                sumIdf: Double, maxTfBound: Int, avgfl: Double,
+                                w: Weighting = BM25Weighting) extends Matcher {
+  val maxScore: Double = w.upperBound(sumIdf, maxTfBound)
+  private var cur = Long.MaxValue
+  private var curTf = 0
+  seek(0L)
+
+  private def chainExists(i: Int, prev: Int): Boolean = {
+    if (i == terms.length) return true
+    val ps = terms(i).positions
+    var k = java.util.Arrays.binarySearch(ps, prev + 1)
+    if (k < 0) k = -k - 1
+    while (k < ps.length && ps(k) <= prev + slop) {
+      if (chainExists(i + 1, ps(k))) return true
+      k += 1
+    }
+    false
+  }
+
+  private def phraseTfAt(): Int = {
+    val base = terms(0).positions
+    var count = 0
+    var i = 0
+    while (i < base.length) {
+      if (chainExists(1, base(i))) count += 1
+      i += 1
+    }
+    count
+  }
+
+  private def seek(from: Long): Unit = {
+    var target = math.max(from, terms(0).docId)
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < terms.length && target != Long.MaxValue) {
+        val c = terms(i)
+        if (c.docId < target) c.skipTo(target)
+        if (c.docId > target) { target = c.docId; aligned = false; i = terms.length }
+        else if (c.docId == Long.MaxValue) { target = Long.MaxValue }
+        else i += 1
+      }
+      if (target == Long.MaxValue) { cur = Long.MaxValue; done = true }
+      else if (aligned) {
+        val tf = phraseTfAt()
+        if (tf > 0) { cur = target; curTf = tf; done = true }
+        else {
+          val c0 = terms(0)
+          c0.skipTo(target + 1)
+          target = c0.docId
+        }
+      }
+    }
+  }
+
+  def docId: Long = cur
+  def advance(): Unit = if (cur != Long.MaxValue) seek(cur + 1)
+  def skipTo(target: Long): Unit = if (cur < target) seek(target)
+  def score: Double = {
+    val fl = LengthByte.decode(terms(0).lenByte)
+    w.score(sumIdf, curTf, fl, avgfl)
+  }
+  def currentUpperBound: Double = maxScore
+}
+
 /** Positional phrase (Q5, decision D3): terms must occur at their
   * query-side raw-position offsets; tf = number of matching start
   * positions; idf = sum of constituent idfs. */
 final class PhraseMatcher(terms: Array[(TermCursor, Int)], sumIdf: Double,
-                          maxTfBound: Int, avgfl: Double) extends Matcher {
-  val maxScore: Double = BM25.upperBound(sumIdf, maxTfBound)
+                          maxTfBound: Int, avgfl: Double,
+                          w: Weighting = BM25Weighting) extends Matcher {
+  val maxScore: Double = w.upperBound(sumIdf, maxTfBound)
   private var cur = Long.MaxValue
   private var curTf = 0
   seek(0L)
@@ -273,7 +359,7 @@ final class PhraseMatcher(terms: Array[(TermCursor, Int)], sumIdf: Double,
   def skipTo(target: Long): Unit = if (cur < target) seek(target)
   def score: Double = {
     val fl = LengthByte.decode(terms(0)._1.lenByte)
-    BM25.score(sumIdf, curTf, fl, avgfl)
+    w.score(sumIdf, curTf, fl, avgfl)
   }
   def currentUpperBound: Double = maxScore
 }

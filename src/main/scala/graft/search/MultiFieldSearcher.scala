@@ -67,7 +67,8 @@ object MultiFieldSearcher {
   }
 
   def search(spark: SparkSession, mh: MultiHandle, query: String, k: Int = 10,
-             prune: Boolean = true): Dataset[SearchHit] = {
+             prune: Boolean = true,
+             weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
     import spark.implicits._
     val q0 = applyFieldBoosts(QueryParser.parse(query, defaultField = mh.defaultField,
       chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
@@ -82,7 +83,8 @@ object MultiFieldSearcher {
         })
     } else q0
     val ft = q.fieldTerms
-    if (q == QEmpty || ft.isEmpty) return spark.emptyDataset[SearchHit]
+    if (q == QEmpty || (ft.isEmpty && !q.hasEvery))
+      return spark.emptyDataset[SearchHit]
 
     // per-field global dfs (pruned lexicon lookups, memoized per handle)
     val dfs: Map[(String, String), Long] = ft.groupBy(_._1).flatMap {
@@ -105,15 +107,20 @@ object MultiFieldSearcher {
     val qLocal = q
     val kLocal = k
     val pruneLocal = prune
+    val wLocal = weighting
 
-    // one pruned scan per field, unioned with a field tag
+    // one pruned scan per field, unioned with a field tag; the match-all
+    // pseudo list (QEvery) rides under the default field's name
     val rows = mh.handles.toSeq.sortBy(_._1).flatMap { case (fname, h) =>
       val terms = ft.collect { case (f, t) if f == fname => t }
       if (terms.isEmpty) None
       else Some(h.segments
         .filter($"term".isin(terms.toSeq: _*))
         .select(lit(fname).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
-    }
+    } ++ (if (!q.hasEvery) Nil else Seq(
+      Searcher.everyRows(spark, mh.defaultHandle)
+        .select(lit(mh.defaultField).as("field"), $"term", $"df", $"maxTf",
+          $"blocks", $"segId")))
     if (rows.isEmpty) return spark.emptyDataset[SearchHit]
 
     val perSegment = rows.reduce(_ unionByName _)
@@ -124,17 +131,9 @@ object MultiFieldSearcher {
           Kernel.key(fname, term) ->
             Kernel.TermList(blocks, maxTf, dfs.getOrElse((fname, term), df.toLong))
         }.toMap
-        val deleted: Long => Boolean = delRanges.get(segId) match {
-          case None => Kernel.NoDeletes
-          case Some(rids) =>
-            val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(delDir),
-              new org.apache.hadoop.conf.Configuration())
-            val tomb = rids.iterator
-              .flatMap(graft.build.Deletes.readRange(fs, delDir, _)).toArray
-            java.util.Arrays.sort(tomb)
-            id => java.util.Arrays.binarySearch(tomb, id) >= 0
-        }
-        Kernel.topKMulti(qLocal, lists, statsByField, kLocal, pruneLocal, deleted)
+        val deleted = Searcher.tombstoneProbe(delRanges, delDir, segId)
+        Kernel.topKMulti(qLocal, lists, statsByField, kLocal, pruneLocal,
+            deleted, wLocal)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }
     perSegment.orderBy($"score".desc, $"docId".asc).limit(k)

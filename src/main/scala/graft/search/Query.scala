@@ -15,8 +15,8 @@ sealed trait Q extends Serializable {
   def terms: Set[String] = fieldTerms.map(_._2)
   /** (field, term) leaf pairs — the multi-field pruning/df-lookup unit */
   def fieldTerms: Set[(String, String)] = this match {
-    case QTerm(t, f, _)    => Set((f, t))
-    case QPhrase(ts, f, _) => ts.map(t => (f, t._1)).toSet
+    case QTerm(t, f, _)       => Set((f, t))
+    case QPhrase(ts, f, _, _) => ts.map(t => (f, t._1)).toSet
     case QAnd(cs)          => cs.flatMap(_.fieldTerms).toSet
     case QOr(cs)           => cs.flatMap(_.fieldTerms).toSet
     case QNot(p, n)        => p.fieldTerms ++ n.fieldTerms
@@ -24,6 +24,7 @@ sealed trait Q extends Serializable {
     case QRequire(p, f)    => p.fieldTerms ++ f.fieldTerms
     case _: QMulti         => Set.empty
     case QPureNot(n)       => n.fieldTerms
+    case _: QEvery         => Set.empty
     case QEmpty            => Set.empty
   }
   def hasPrefix: Boolean = this match {
@@ -35,19 +36,40 @@ sealed trait Q extends Serializable {
     case QRequire(p, f)  => p.hasPrefix || f.hasPrefix
     case _               => false
   }
+  /** does the tree contain a match-all node (needs the segment doc list) */
+  def hasEvery: Boolean = this match {
+    case _: QEvery       => true
+    case QAnd(cs)        => cs.exists(_.hasEvery)
+    case QOr(cs)         => cs.exists(_.hasEvery)
+    case QNot(p, n)      => p.hasEvery || n.hasEvery
+    case QAndMaybe(p, m) => p.hasEvery || m.hasEvery
+    case QRequire(p, f)  => p.hasEvery || f.hasEvery
+    case _               => false
+  }
 }
 object Q {
   /** the schema's default field — what unqualified query terms hit */
   final val DefaultField = "content"
+  /** reserved pseudo-term for the match-all doc list: analyzed terms never
+    * contain \u0000, so it cannot collide with a real term */
+  final val EveryTerm = "\u0000*"
 }
 /** a term in a field, optionally boosted (`term^2`, Whoosh parser surface):
   * contribution = BM25(idf(field df) * boost, tf, field length stats) */
 final case class QTerm(term: String, field: String = Q.DefaultField,
                        boost: Double = 1.0) extends Q
-/** phrase terms with raw-stream offsets, e.g. "engine is information" ->
-  * List((engine,0),(information,2)) after stop removal. */
+/** Phrase terms with raw-stream offsets, e.g. "engine is information" ->
+  * List((engine,0),(information,2)) after stop removal.
+  *
+  * `slop` (Whoosh `Phrase(slop=N)`, parsed `"a b"~N`): slop == 1 (default)
+  * is the pinned exact-offset pattern match (D3). slop > 1 switches to
+  * ordered window matching — pinned semantics (in-repo decision D8, oracle-
+  * enforced): the surviving terms must occur IN ORDER with each consecutive
+  * matched pair's position gap in [1, slop] (raw offsets are ignored — the
+  * window subsumes stopword gaps); tf = number of distinct first-term
+  * positions admitting a full chain. */
 final case class QPhrase(ts: List[(String, Int)], field: String = Q.DefaultField,
-                         boost: Double = 1.0) extends Q
+                         boost: Double = 1.0, slop: Int = 1) extends Q
 final case class QAnd(cs: List[Q]) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
@@ -137,6 +159,14 @@ final case class QRange(lo: String, hi: String,
   }
 }
 object QMulti { final val MaxExpand = 128 }
+/** Match-all (Whoosh `Every`, parsed from a bare `*`): every live document
+  * of the index matches with CONSTANT score = boost (Whoosh scores Every
+  * hits 1.0). Makes top-level/AND-side pure negation answerable
+  * ("NOT x" == Every NOT x) and composes delete-by-query. The kernel
+  * resolves it against a per-segment pseudo posting list built from the
+  * docstats sidecar (the segment's live doc ids), keyed Q.EveryTerm. */
+final case class QEvery(boost: Double = 1.0,
+                        field: String = Q.DefaultField) extends Q
 case object QEmpty extends Q
 /** parser-internal: a group with ONLY negative clauses ("(NOT a)",
   * "NOT a AND NOT b"). Folds into the enclosing AND group's negative list;
@@ -246,6 +276,9 @@ object QueryParser {
     * name, nonempty or phrase-adjacent remainder */
   private val FieldPrefix = "^([A-Za-z_][A-Za-z0-9_]*):(.*)$".r
 
+  /** trailing `~<slop>` and/or `^<boost>` of a phrase (one word token) */
+  private val TrailingMods = "^(?:~(\\d+))?(?:\\^(\\d+(?:\\.\\d+)?))?$".r
+
   /** trailing `^<boost>` of a raw word token (positive float) */
   private def splitBoost(w: String): (String, Double) = {
     val i = w.lastIndexOf('^')
@@ -336,14 +369,18 @@ object QueryParser {
         }
         if (w.isEmpty) {
           // `field:"a phrase"` — the quote ended the word token; the phrase
-          // (plus its own boost token, if any) follows
+          // (plus its own slop/boost token, if any) follows
           peek match {
-            case Some(Phrase(p)) => pop(); phraseNode(p, field, boost * trailingBoost())
-            case _               => QEmpty // dangling `field:`
+            case Some(Phrase(p)) =>
+              pop()
+              val (slop, b) = trailingMods()
+              phraseNode(p, field, boost * b, slop)
+            case _ => QEmpty // dangling `field:`
           }
         } else wordNode(w, field, boost)
       case Phrase(p) =>
-        phraseNode(p, defaultField, trailingBoost())
+        val (slop, b) = trailingMods()
+        phraseNode(p, defaultField, b, slop)
       case RangeTok(lo, hi) => QRange(lo, hi, defaultField)
       case RP        => QEmpty
       case TAnd      => QEmpty
@@ -363,11 +400,26 @@ object QueryParser {
       case _ => 1.0
     }
 
+    // `"a b"~2`, `"a b"^3`, `"a b"~2^3`: slop and/or boost lex as one
+    // trailing word token after the closing quote
+    def trailingMods(): (Int, Double) = peek match {
+      case Some(Word(w)) if w.startsWith("~") || w.startsWith("^") =>
+        w match {
+          case TrailingMods(s, b) if s != null || b != null =>
+            pop()
+            (Option(s).flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1),
+              Option(b).flatMap(_.toDoubleOption).filter(_ > 0.0).getOrElse(1.0))
+          case _ => (1, 1.0)
+        }
+      case _ => (1, 1.0)
+    }
+
     // multiterm syntax (reference semantics: multiterm query text is
     // lowercased but NOT run through the full analyzer)
     def wordNode(w: String, field: String, boost: Double): Q = {
       def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      if (w.length > 1 && w.endsWith("*") && !w.init.exists(c => c == '*' || c == '?'))
+      if (w == "*") QEvery(boost, field) // match-all (Whoosh Every)
+      else if (w.length > 1 && w.endsWith("*") && !w.init.exists(c => c == '*' || c == '?'))
         QPrefix(lower(w.init), field, boost)
       else if (w.exists(c => c == '*' || c == '?'))
         QWildcard(lower(w), field, boost)
@@ -382,18 +434,19 @@ object QueryParser {
       }
     }
 
-    def phraseNode(p: String, field: String, boost: Double): Q =
+    def phraseNode(p: String, field: String, boost: Double, slop: Int = 1): Q =
       chainOf(field).tokenize(p).toList.map(t => (t.term, t.pos)) match {
         case Nil           => QEmpty
         case (t, _) :: Nil => QTerm(t, field, boost)
-        case ts            => mkPhrase(ts, field, boost)
+        case ts            => mkPhrase(ts, field, boost, slop)
       }
 
     // phrase offsets are rebased so the first surviving term sits at 0 —
     // relative gaps (incl. gaps across removed stopwords, q12) are what matters
-    def mkPhrase(ts: List[(String, Int)], field: String, boost: Double): Q = {
+    def mkPhrase(ts: List[(String, Int)], field: String, boost: Double,
+                 slop: Int = 1): Q = {
       val base = ts.head._2
-      QPhrase(ts.map { case (t, p) => (t, p - base) }, field, boost)
+      QPhrase(ts.map { case (t, p) => (t, p - base) }, field, boost, slop)
     }
 
     // dropped (stopword-only) children vanish from their group, Whoosh-style:
@@ -414,7 +467,9 @@ object QueryParser {
 
     if (toks.isEmpty) QEmpty
     else orExpr() match {
-      case _: QPureNot => QEmpty // top-level pure negative: nothing to subtract from
+      // top-level pure negative: subtract from the match-all ("NOT x" ==
+      // Every NOT x, constant Every scores — answerable since QEvery landed)
+      case QPureNot(n) => QNot(QEvery(field = defaultField), n)
       case q           => q
     }
   }

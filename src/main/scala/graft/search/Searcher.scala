@@ -148,16 +148,102 @@ object Searcher {
     terms.iterator.map(t => t -> handle.dfCache.get(t).longValue()).toMap
   }
 
-  /** top-k hits as a Dataset (k rows), rank-identical to RefModel. */
+  /** Pruned posting rows for the query's terms, plus the per-segment
+    * match-all pseudo list when the query needs one (QEvery). */
+  private[search] def queryRows(spark: SparkSession, handle: IndexHandle,
+                                terms: Set[String],
+                                needEvery: Boolean): Dataset[SegRead] = {
+    import spark.implicits._
+    val rows0 = handle.segments
+      .filter($"term".isin(terms.toSeq: _*))
+      .select($"term", $"df", $"maxTf", $"blocks", $"segId")
+      .as[SegRead]
+    if (!needEvery) rows0 else rows0.unionByName(everyRows(spark, handle))
+  }
+
+  /** The match-all pseudo posting list, one row per live segment under the
+    * reserved term Q.EveryTerm: the segment's live docIds (tf 1, real
+    * lenBytes) encoded through the ordinary codec, built from the docstats
+    * sidecar. A match-all inherently touches every live doc — this is one
+    * narrow two-column scan + per-segment encode, still no corpus-wide
+    * shuffle of anything wider than (docId, lenByte). */
+  private[search] def everyRows(spark: SparkSession,
+                                handle: IndexHandle): Dataset[SegRead] = {
+    import spark.implicits._
+    spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .filter(col("segId").isin(handle.liveSegIds: _*))
+      .select(col("docId"), col("lenByte"), col("segId"))
+      .as[(Long, Int, Int)]
+      .groupByKey(_._3)
+      .mapGroups { (segId, it) =>
+        val arr = it.map(r => (r._1, r._2)).toArray.sortBy(_._1)
+        val enc = new graft.codec.PostingsCodec.Encoder
+        val p0 = Array(0)
+        arr.foreach { case (d, lb) => enc.add(d, 1, lb, p0) }
+        val e = enc.finish()
+        SegRead(Q.EveryTerm, e.df, e.maxTf, e.bytes, segId)
+      }
+  }
+
+  /** Executor-side tombstone probe for one segment: loads only the range
+    * sidecars the segment's manifest covers (each bounded by segSize
+    * entries) — no tombstone set ever rides the driver or a closure. */
+  private[search] def tombstoneProbe(delRanges: Map[Int, Seq[Long]],
+                                     indexDir: String, segId: Int): Long => Boolean =
+    delRanges.get(segId) match {
+      case None => Kernel.NoDeletes
+      case Some(rids) =>
+        val fs = FileSystem.get(new java.net.URI(indexDir),
+          new org.apache.hadoop.conf.Configuration())
+        val tomb: Array[Long] = rids.iterator
+          .flatMap(graft.build.Deletes.readRange(fs, indexDir, _)).toArray
+        java.util.Arrays.sort(tomb)
+        id => java.util.Arrays.binarySearch(tomb, id) >= 0
+    }
+
+  /** ALL docIds matching a query — the delete-by-query feed: same pruned
+    * scan and per-segment kernel as searchQ, but every match is emitted
+    * (no top-k heap, no global sort, nothing driver-side). */
+  def matchingIds(spark: SparkSession, handle: IndexHandle,
+                  query: String): Dataset[Long] = {
+    import spark.implicits._
+    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val q = if (q0.hasPrefix)
+      QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
+    else q0
+    val terms = q.terms
+    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
+      return spark.emptyDataset[Long]
+    val dfs = termDfs(spark, handle, terms)
+    val stats = handle.stats
+    val qLocal = q
+    val delRanges = handle.delRanges
+    val dirLocal = handle.indexDir
+    queryRows(spark, handle, terms, q.hasEvery)
+      .groupByKey(_.segId)
+      .flatMapGroups { (segId, it) =>
+        val lists = it.map { r =>
+          r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
+        }.toMap
+        Kernel.allMatches(qLocal, lists, stats,
+          tombstoneProbe(delRanges, dirLocal, segId))
+      }
+  }
+
+  /** top-k hits as a Dataset (k rows), rank-identical to RefModel.
+    * `weighting` selects the scoring model (reference surface:
+    * search_documents(..., weighting=...); BM25 is the pinned default). */
   def search(spark: SparkSession, handle: IndexHandle, query: String, k: Int = 10,
-             prune: Boolean = true): Dataset[SearchHit] = {
+             prune: Boolean = true,
+             weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
     import spark.implicits._
     val q = QueryParser.parse(query, chainOf = _ => handle.chain)
-    searchQ(spark, handle, q, k, prune)
+    searchQ(spark, handle, q, k, prune, weighting)
   }
 
   def searchQ(spark: SparkSession, handle: IndexHandle, q0: Q, k: Int,
-              prune: Boolean = true): Dataset[SearchHit] = {
+              prune: Boolean = true,
+              weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
     import spark.implicits._
     // multiterm expansion: one pruned scan per node (scanMulti — pushed
     // StartsWith / gram-probe / range), ascending-term, MaxExpand-capped
@@ -165,7 +251,7 @@ object Searcher {
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
     val terms = q.terms
-    if (q == QEmpty || terms.isEmpty)
+    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
       return spark.emptyDataset[SearchHit]
 
     val dfs = termDfs(spark, handle, terms)
@@ -173,15 +259,11 @@ object Searcher {
     val kLocal = k
     val pruneLocal = prune
     val qLocal = q
+    val wLocal = weighting
     val delRanges = handle.delRanges
     val dirLocal = handle.indexDir
 
-    val rows = handle.segments
-      .filter($"term".isin(terms.toSeq: _*))
-      .select($"term", $"df", $"maxTf", $"blocks", $"segId")
-      .as[SegRead]
-
-    val perSegment = rows
+    val perSegment = queryRows(spark, handle, terms, q.hasEvery)
       .groupByKey(_.segId)
       .flatMapGroups { (segId, it) =>
         val lists = it.map { r =>
@@ -189,17 +271,8 @@ object Searcher {
         }.toMap
         // tombstones load INSIDE the kernel, each file bounded by segSize
         // entries — no tombstone set ever rides the driver or the closure
-        val deleted: Long => Boolean = delRanges.get(segId) match {
-          case None => Kernel.NoDeletes
-          case Some(rids) =>
-            val fs = FileSystem.get(new java.net.URI(dirLocal),
-              new org.apache.hadoop.conf.Configuration())
-            val tomb: Array[Long] = rids.iterator
-              .flatMap(graft.build.Deletes.readRange(fs, dirLocal, _)).toArray
-            java.util.Arrays.sort(tomb)
-            id => java.util.Arrays.binarySearch(tomb, id) >= 0
-        }
-        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal, deleted)
+        val deleted = tombstoneProbe(delRanges, dirLocal, segId)
+        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal, deleted, wLocal)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }
 

@@ -81,7 +81,11 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
         QTerm("slow")))
     // group-leading NOT: operand is a NEGATIVE clause, never a positive one;
     // with no positive clause the group is empty (no match-all to subtract from)
-    assert(QueryParser.parse("NOT search") == QEmpty)
+    // top-level pure negation subtracts from the match-all (Whoosh Every)
+    assert(QueryParser.parse("NOT search") == QNot(QEvery(), QTerm("search")))
+    assert(QueryParser.parse("*") == QEvery())
+    assert(QueryParser.parse("*^2") == QEvery(2.0))
+    assert(QueryParser.parse("* NOT search") == QNot(QEvery(), QTerm("search")))
     assert(QueryParser.parse("alpha OR NOT search") == QTerm("alpha"))
     assert(QueryParser.parse("NOT search engine") == QNot(QTerm("engine"), QTerm("search")))
     // parenthesized pure-negative folds into the enclosing AND group
@@ -100,6 +104,14 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
       QPhrase(List(("search", 0), ("engine", 1)), "content", 3.0))
     assert(QueryParser.parse("path:\"search engine\"^3") ==
       QPhrase(List(("search", 0), ("engine", 1)), "path", 3.0))
+    assert(QueryParser.parse("\"search engine\"~2") ==
+      QPhrase(List(("search", 0), ("engine", 1)), slop = 2))
+    assert(QueryParser.parse("\"search engine\"~2^3") ==
+      QPhrase(List(("search", 0), ("engine", 1)), boost = 3.0, slop = 2))
+    assert(QueryParser.parse("path:\"search engine\"~4") ==
+      QPhrase(List(("search", 0), ("engine", 1)), "path", slop = 4))
+    assert(QueryParser.parse("\"search engine\"~0") ==
+      QPhrase(List(("search", 0), ("engine", 1)))) // degenerate slop -> default
     assert(QueryParser.parse("path:sea*^2") == QPrefix("sea", "path", 2.0))
     assert(QueryParser.parse("title:saerch~2") == QFuzzy("saerch", 2, "title"))
     assert(QueryParser.parse("path:") == QEmpty) // dangling qualifier

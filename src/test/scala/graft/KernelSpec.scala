@@ -53,7 +53,14 @@ class KernelSpec extends AnyFunSuite with PropSupport {
       for (a <- w; b <- w) yield s"$a REQUIRE $b",
       for (a <- w; b <- w; c <- w) yield s"($a OR $b) REQUIRE $c ANDMAYBE $a",
       for (a <- w; b <- w) yield s"$a^2 OR $b",
-      for (a <- w; b <- w) yield "\"" + a + " " + b + "\"^3 OR " + a
+      for (a <- w; b <- w) yield "\"" + a + " " + b + "\"^3 OR " + a,
+      for (a <- w; b <- w) yield "\"" + a + " " + b + "\"~3",
+      for (a <- w; b <- w; c <- w) yield "\"" + a + " " + b + " " + c + "\"~2 OR " + a,
+      Gen.const("*"),
+      w.map(a => s"NOT $a"),
+      w.map(a => s"* NOT $a"),
+      for (a <- w; b <- w) yield s"* AND $a NOT $b",
+      for (a <- w; b <- w) yield s"*^2 ANDMAYBE $a OR $b"
     )
   }
 
@@ -66,6 +73,39 @@ class KernelSpec extends AnyFunSuite with PropSupport {
       assertRankIdentical(Kernel.topK(q, lists, stats, k, prune = true).toSeq, oracle, s"'$qs' k=$k wand")
       assertRankIdentical(Kernel.topK(q, lists, stats, k, prune = false).toSeq, oracle, s"'$qs' k=$k exh")
     }
+  }
+
+  test("pluggable weighting: TF_IDF and Frequency rank-identical to oracle") {
+    forSamples(genCorpus, genQuery) { (docs, qs) =>
+      Seq(TfIdfWeighting, FrequencyWeighting).foreach { w =>
+        val (lists, stats) = TestFixtures.memSegment(docs)
+        val ref = new RefModel(docs, w = w)
+        val q = QueryParser.parse(qs)
+        val oracle = ref.search(q, 10)
+        assertRankIdentical(Kernel.topK(q, lists, stats, 10, prune = true, w = w).toSeq,
+          oracle, s"'$qs' $w wand")
+        assertRankIdentical(Kernel.topK(q, lists, stats, 10, prune = false, w = w).toSeq,
+          oracle, s"'$qs' $w exh")
+      }
+    }
+  }
+
+  test("sloppy phrase: ordered window semantics (D8)") {
+    val docs = Seq(
+      0L -> "alpha beta gamma",
+      1L -> "alpha xx beta",
+      2L -> "alpha xx yy beta",
+      3L -> "beta alpha",
+      4L -> "alpha xx yy zz beta")
+    val (lists, stats) = TestFixtures.memSegment(docs)
+    def ids(qs: String): Set[Long] =
+      Kernel.topK(QueryParser.parse(qs), lists, stats, 10).map(_.docId).toSet
+    assert(ids("\"alpha beta\"") == Set(0L))
+    assert(ids("\"alpha beta\"~2") == Set(0L, 1L))
+    assert(ids("\"alpha beta\"~3") == Set(0L, 1L, 2L))
+    assert(ids("\"alpha beta\"~4") == Set(0L, 1L, 2L, 4L))
+    // in-order requirement: reversed doc never matches at any slop
+    assert(!ids("\"alpha beta\"~4").contains(3L))
   }
 
   test("multi-segment split: union of per-segment topk re-ranked == oracle") {
@@ -82,7 +122,9 @@ class KernelSpec extends AnyFunSuite with PropSupport {
       }.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
       val hits = segs.flatMap { seg =>
         val (lists0, _) = TestFixtures.memSegment(seg)
-        val lists = lists0.map { case (t, tl) => t -> tl.copy(globalDf = globalDf(t)) }
+        val lists = lists0.map { case (t, tl) =>
+          t -> tl.copy(globalDf = globalDf.getOrElse(t, tl.globalDf)) // pseudo EveryTerm keeps its own
+        }
         Kernel.topK(q, lists, globalStats, k).toSeq
       }.sortBy(h => (-h.score, h.docId)).take(k)
       assertRankIdentical(hits, oracle, s"'$qs' multiseg")

@@ -362,4 +362,57 @@ class SparkIndexSpec extends AnyFunSuite {
     assert(hits.map(_.docId).toSet.intersect(deleted).isEmpty)
     assert(hits.nonEmpty)
   }
+
+  test("Every: match-all + top-level pure NOT rank-identical to oracle") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("ev")
+    IndexBuilder.build(spark, spark.createDataset(fixtureRows), dir,
+      IndexConfig(segSize = 2))
+    assertSearchesMatchOracle(dir, refDocs(fixtureRows), Seq(
+      "e1" -> "*",
+      "e2" -> "NOT search",
+      "e3" -> "* NOT search",
+      "e4" -> "* ANDMAYBE search",
+      "e5" -> "*^3 NOT \"search engine\"",
+      "e6" -> "* AND frequency"))
+  }
+
+  test("delete-by-query: bulk tombstones, hidden at query, purged at compaction") {
+    import spark.implicits._
+    val rows2 = (0 until 200).map { i =>
+      CorpusRow(f"r${i % 7}", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(7L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("dq")
+    IndexBuilder.build(spark, spark.createDataset(rows2), dir,
+      IndexConfig(segSize = 32))
+    val docs = refDocs(rows2)
+    // most frequent surviving term: a deletion that spans many ranges
+    val term = docs.flatMap(d => graft.analysis.Analyzer.analyze(d._2).terms.map(_._1))
+      .groupBy(identity).maxBy(_._2.size)._1
+    val expectedDel = docs.filter(d =>
+      graft.analysis.Analyzer.analyze(d._2).terms.exists(_._1 == term)).map(_._1).toSet
+    assert(expectedDel.size > 10)
+
+    graft.build.Deletes.byQuery(spark, dir, term)
+    assert(graft.build.Deletes.read(spark, dir) == expectedDel)
+
+    // hidden at query time: match-all sees only the survivors
+    val h2 = Searcher.open(spark, dir)
+    val live = Searcher.search(spark, h2, "*", docs.size + 5).collect()
+    assert(live.length == docs.size - expectedDel.size)
+    assert(live.map(_.docId).toSet.intersect(expectedDel).isEmpty)
+
+    // idempotent: re-running the same delete adds nothing
+    graft.build.Deletes.byQuery(spark, dir, term)
+    assert(graft.build.Deletes.read(spark, dir) == expectedDel)
+
+    // physical purge at compaction: stats shrink, tombstones cleared
+    Merger.compact(spark, dir, applyDeletes = true)
+    val h3 = Searcher.open(spark, dir)
+    assert(h3.stats.numDocs == docs.size - expectedDel.size)
+    assert(!h3.hasDeletes)
+    val live2 = Searcher.search(spark, h3, "*", docs.size + 5).collect()
+    assert(live2.map(_.docId).toSet == docs.map(_._1).toSet -- expectedDel)
+  }
 }

@@ -39,10 +39,13 @@ object TestFixtures {
     var totalLen = 0L
     val byTerm = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[PostingsCodec.Pst]]
+    val everyEnc = new PostingsCodec.Encoder
+    val p0 = Array(0)
     sorted.foreach { case (docId, content) =>
       val a = Analyzer.analyze(content)
       totalLen += a.fieldLen
       val lb = LengthByte.encode(a.fieldLen)
+      everyEnc.add(docId, 1, lb, p0)
       a.terms.foreach { case (term, ps) =>
         byTerm.getOrElseUpdate(term,
           scala.collection.mutable.ArrayBuffer.empty) +=
@@ -53,7 +56,11 @@ object TestFixtures {
       val enc = PostingsCodec.encode(psts.iterator)
       term -> Kernel.TermList(enc.bytes, enc.maxTf, enc.df.toLong)
     }.toMap
-    (lists, BM25.CorpusStats(sorted.size.toLong, totalLen))
+    // the match-all pseudo list, exactly as Searcher.everyRows builds it
+    val ev = everyEnc.finish()
+    val withEvery = lists + (graft.search.Q.EveryTerm ->
+      Kernel.TermList(ev.bytes, ev.maxTf, ev.df.toLong))
+    (withEvery, BM25.CorpusStats(sorted.size.toLong, totalLen))
   }
 
 }
