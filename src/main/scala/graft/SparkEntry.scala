@@ -21,7 +21,22 @@ import graft.streaming.StreamingIngest
 object SparkEntry {
 
   /** bump when the on-disk index format changes (invalidates /tmp caches) */
-  private val FormatVersion = "v3"
+  private val FormatVersion = "v4"
+
+  /** the driver-contract multi-field schema: text content + path, plus a
+    * numeric size (char length) and a datetime mtime (a deterministic date
+    * derived from the doc id) exercising the typed-field surface */
+  private val mfSchema: Seq[MultiFieldIndex.FieldSpec] = Seq(
+    MultiFieldIndex.FieldSpec("content", _.content),
+    MultiFieldIndex.FieldSpec("path", _.path),
+    MultiFieldIndex.FieldSpec("dirs", _.path,
+      analyzer = graft.analysis.AnalyzerSpec(graft.analysis.PathTok, Nil)),
+    MultiFieldIndex.FieldSpec("size", r => r.content.length.toString,
+      ftype = graft.build.NumericType),
+    MultiFieldIndex.FieldSpec("mtime", r => {
+      val id = r.path.replaceAll("[^0-9]", "").toLong
+      java.time.LocalDate.of(2020, 1, 1).plusDays(id % 365).toString
+    }, ftype = graft.build.DatetimeType))
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def indexFor(spark: SparkSession, sfDir: String): String =
@@ -40,7 +55,7 @@ object SparkEntry {
       val dir = s"/tmp/graft-mfindex-$FormatVersion-" +
         sfDir.replaceAll("[^A-Za-z0-9.]", "_")
       MultiFieldIndex.build(spark, CorpusSource.fromDocumentsTable(spark, sfDir),
-        dir, MultiFieldIndex.contentAndPath, IndexConfig(segSize = 128))
+        dir, mfSchema, IndexConfig(segSize = 128))
       dir
     })
 
@@ -106,6 +121,18 @@ object SparkEntry {
       .select($"docId".as("docid"), round($"score", 4).as("score"))
   }
 
+  /** multi-field analog of topk (same rounding/tie protocol) */
+  private def mfTopk(s: SparkSession, sfDir: String, query: String): DataFrame = {
+    import s.implicits._
+    val mh = MultiFieldSearcher.open(s, multiIndexFor(s, sfDir), mfSchema)
+    val kAll = mh.defaultHandle.stats.numDocs.toInt + 1
+    MultiFieldSearcher.search(s, mh, query, kAll)
+      .withColumn("r6", round($"score", 6))
+      .orderBy($"r6".desc, $"docId".asc)
+      .limit(10)
+      .select($"docId".as("docid"), round($"score", 4).as("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: corpus scan + derived shape + sha256 row invariant
     "ft_corpus" -> ((s, dir) => {
@@ -138,6 +165,21 @@ object SparkEntry {
       val chain = new graft.analysis.Chain(
         graft.analysis.AnalyzerSpec(graft.analysis.NgramTok(3, 3),
           List(graft.analysis.LowerF)))
+      IndexBuilder.stampDocIds(CorpusSource.fromDocumentsTable(s, dir))
+        .select($"docId", $"content").as[(Long, String)]
+        .flatMap { case (id, c) =>
+          chain.tokenize(c).iterator.map(t => (id, t.pos.toLong, t.term))
+        }
+        .toDF("docid", "pos", "term")
+    }),
+    // ShingleFilter: word-bigram stream over the standard chain, positions
+    // re-numbered by shingle ordinal
+    "ft_tokens_shingle" -> ((s, dir) => {
+      import s.implicits._
+      val chain = new graft.analysis.Chain(graft.analysis.AnalyzerSpec(
+        graft.analysis.StandardTok,
+        List(graft.analysis.LowerF, graft.analysis.StopF(),
+          graft.analysis.ShingleF(2))))
       IndexBuilder.stampDocIds(CorpusSource.fromDocumentsTable(s, dir))
         .select($"docId", $"content").as[(Long, String)]
         .flatMap { case (id, c) =>
@@ -217,17 +259,17 @@ object SparkEntry {
     }),
     // multi-field schema: field-qualified query over the two-field
     // (content + path) index, with a query boost on the path term
-    "ft_topk_field" -> ((s, dir) => {
-      import s.implicits._
-      val mh = MultiFieldSearcher.open(s, multiIndexFor(s, dir),
-        MultiFieldIndex.contentAndPath)
-      val kAll = mh.defaultHandle.stats.numDocs.toInt + 1
-      MultiFieldSearcher.search(s, mh, "spark OR path:0000042.txt^2", kAll)
-        .withColumn("r6", round($"score", 6))
-        .orderBy($"r6".desc, $"docId".asc)
-        .limit(10)
-        .select($"docId".as("docid"), round($"score", 4).as("score"))
-    }),
+    "ft_topk_field" -> ((s, dir) => mfTopk(s, dir, "spark OR path:0000042.txt^2")),
+    // numeric field type + range query: `size:[lo TO hi]` over the sortable
+    // encoding; score per match = idf of the doc's own value group (fl=1)
+    "ft_topk_numrange" -> ((s, dir) => mfTopk(s, dir, "size:[200 TO 260]")),
+    // datetime field type + date range over encoded epoch millis
+    "ft_topk_daterange" -> ((s, dir) =>
+      mfTopk(s, dir, "mtime:[2020-02-01 TO 2020-02-28]")),
+    // PathTokenizer field: the full-path query analyzes into the progressive
+    // prefix phrase ("d", "d/NNN.txt") over path-tokenized positions
+    "ft_topk_path" -> ((s, dir) =>
+      mfTopk(s, dir, "spark OR dirs:d/0000042.txt^2")),
     // upsert by unique key (put_document): re-putting changed docs
     // tombstones the old versions; live set reflects exactly the new text
     "ft_upsert" -> ((s, dir) => {
@@ -515,6 +557,47 @@ object SparkEntry {
         |    (2.0 * (ln(p.n::DOUBLE / 2.0) + 1.0)) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0)) AS s
         |  FROM ids i CROSS JOIN params p WHERE i.path = 'd/0000042.txt'
         |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // path-tokenized field: the single matching doc's contribution is
+    // boost * (idf('d') + idf(full path)); fl = avgfl = 2 so the BM25
+    // normalization cancels (score == sumIdf)
+    "ft_topk_path" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |  SELECT docid, s FROM contrib WHERE term = 'spark'
+        |  UNION ALL
+        |  SELECT i.docid,
+        |    2.0 * ((ln(p.n::DOUBLE / (p.n + 1.0)) + 1.0)
+        |         + (ln(p.n::DOUBLE / 2.0) + 1.0)) AS s
+        |  FROM ids i CROSS JOIN params p WHERE i.path = 'd/0000042.txt'
+        |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // word-bigram shingles over the surviving standard-chain stream
+    "ft_tokens_shingle" -> (cte +
+      """, st AS (SELECT docid, term,
+        |    row_number() OVER (PARTITION BY docid ORDER BY pos) - 1 AS r
+        |  FROM tokens)
+        |SELECT a.docid, a.r AS pos, a.term || ' ' || b.term AS term
+        |FROM st a JOIN st b ON b.docid = a.docid AND b.r = a.r + 1"""
+        .stripMargin.replace("\n", " ")),
+    // numeric range: one encoded term per doc (fl = avgfl = 1), so the BM25
+    // contribution collapses to idf of the doc's value group
+    "ft_topk_numrange" -> (cte + " " + rank(
+      """SELECT i.docid,
+        |  ln((SELECT n FROM params)::DOUBLE / (c.cnt + 1.0)) + 1.0 AS score
+        | FROM ids i
+        | JOIN (SELECT length(content) AS len, count(*)::BIGINT AS cnt
+        |       FROM ids GROUP BY 1) c ON c.len = length(i.content)
+        | WHERE length(i.content) BETWEEN 200 AND 260"""
+        .stripMargin.replace("\n", " "))),
+    // datetime range: mtime = 2020-01-01 + (doc_id % 365) days; the Feb
+    // window is day-of-year 31..58
+    "ft_topk_daterange" -> (cte + " " + rank(
+      """SELECT i.docid,
+        |  ln((SELECT n FROM params)::DOUBLE / (c.cnt + 1.0)) + 1.0 AS score
+        | FROM ids i
+        | JOIN (SELECT CAST(substr(path, 3, 7) AS INTEGER) % 365 AS day,
+        |              count(*)::BIGINT AS cnt FROM ids GROUP BY 1) c
+        |   ON c.day = CAST(substr(i.path, 3, 7) AS INTEGER) % 365
+        | WHERE CAST(substr(i.path, 3, 7) AS INTEGER) % 365 BETWEEN 31 AND 58"""
+        .stripMargin.replace("\n", " "))),
     "ft_upsert" ->
       """WITH up AS (SELECT doc_id,
         |  CASE WHEN doc_id < 10 THEN text || ' upd' ELSE text END AS t FROM documents)

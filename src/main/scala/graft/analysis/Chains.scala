@@ -30,6 +30,15 @@ sealed trait TokenizerSpec
 case object StandardTok extends TokenizerSpec
 case object WhitespaceTok extends TokenizerSpec
 final case class NgramTok(minGram: Int, maxGram: Int) extends TokenizerSpec
+/** whole value as ONE token (Whoosh IDTokenizer — the `id`/`keyword` field
+  * types and the sortable-encoded numeric/datetime/boolean fields) */
+case object KeywordTok extends TokenizerSpec
+/** progressive path prefixes (Whoosh PathTokenizer): "a/b/c.txt" ->
+  * "a"(0), "a/b"(1), "a/b/c.txt"(2); a leading '/' stays on every prefix */
+case object PathTok extends TokenizerSpec
+/** comma-separated values, whitespace-trimmed, empties dropped
+  * (Whoosh CommaSeparatedTokenizer) */
+case object CommaTok extends TokenizerSpec
 
 sealed trait FilterSpec
 case object LowerF extends FilterSpec
@@ -37,6 +46,10 @@ final case class StopF(minSize: Int = Analyzer.MinSize) extends FilterSpec
 case object AccentFoldF extends FilterSpec
 case object PorterStemF extends FilterSpec
 final case class NgramF(minGram: Int, maxGram: Int) extends FilterSpec
+/** word shingles (Whoosh ShingleFilter): every run of `size` ADJACENT
+  * surviving tokens joined with a space, positions RE-NUMBERED 0.. by
+  * shingle ordinal (pinned); streams shorter than `size` emit nothing */
+final case class ShingleF(size: Int) extends FilterSpec
 
 final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec]) {
   /** compact round-trip form stored in stats.json */
@@ -45,6 +58,9 @@ final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec
       case StandardTok     => "standard"
       case WhitespaceTok   => "whitespace"
       case NgramTok(a, b)  => s"ngram($a,$b)"
+      case KeywordTok      => "keyword"
+      case PathTok         => "path"
+      case CommaTok        => "comma"
     }
     val fs = filters.map {
       case LowerF         => "lower"
@@ -52,6 +68,7 @@ final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec
       case AccentFoldF    => "fold"
       case PorterStemF    => "stem"
       case NgramF(a, b)   => s"ngramf($a,$b)"
+      case ShingleF(n)    => s"shingle($n)"
     }
     (t +: fs).mkString("|")
   }
@@ -60,10 +77,13 @@ final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec
 object AnalyzerSpec {
   /** the pinned core chain (Whoosh StandardAnalyzer) */
   val Standard: AnalyzerSpec = AnalyzerSpec(StandardTok, List(LowerF, StopF()))
+  /** identity chain for id/keyword/typed fields */
+  val Keyword: AnalyzerSpec = AnalyzerSpec(KeywordTok, Nil)
 
   private val NgramRe = """ngram\((\d+),(\d+)\)""".r
   private val NgramFRe = """ngramf\((\d+),(\d+)\)""".r
   private val StopRe = """stop\((\d+)\)""".r
+  private val ShingleRe = """shingle\((\d+)\)""".r
 
   def fromString(s: String): AnalyzerSpec = {
     val parts = s.split('|').toList
@@ -71,6 +91,9 @@ object AnalyzerSpec {
       case "standard"       => StandardTok
       case "whitespace"     => WhitespaceTok
       case NgramRe(a, b)    => NgramTok(a.toInt, b.toInt)
+      case "keyword"        => KeywordTok
+      case "path"           => PathTok
+      case "comma"          => CommaTok
       case other            => sys.error(s"unknown tokenizer: $other")
     }
     val fs = parts.tail.map {
@@ -79,6 +102,7 @@ object AnalyzerSpec {
       case "fold"           => AccentFoldF
       case "stem"           => PorterStemF
       case NgramFRe(a, b)   => NgramF(a.toInt, b.toInt)
+      case ShingleRe(n)     => ShingleF(n.toInt)
       case other            => sys.error(s"unknown filter: $other")
     }
     AnalyzerSpec(tok, fs)
@@ -141,6 +165,34 @@ final class Chain(val spec: AnalyzerSpec) extends Serializable {
         } else i += 1
       }
       out
+    case KeywordTok =>
+      val out = mutable.ArrayBuffer.empty[Token]
+      if (text.nonEmpty) out += Token(text, 0)
+      out
+    case PathTok =>
+      // progressive prefixes: one token per '/'-separated segment end
+      val out = mutable.ArrayBuffer.empty[Token]
+      var pos = 0
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (text.charAt(i) == '/') {
+          if (i > 0 && text.charAt(i - 1) != '/') { // skip empty segments
+            out += Token(text.substring(0, i), pos); pos += 1
+          }
+        }
+        i += 1
+      }
+      if (n > 0 && text.charAt(n - 1) != '/') { out += Token(text, pos) }
+      out
+    case CommaTok =>
+      val out = mutable.ArrayBuffer.empty[Token]
+      var pos = 0
+      text.split(',').foreach { raw =>
+        val t = raw.trim
+        if (t.nonEmpty) { out += Token(t, pos); pos += 1 }
+      }
+      out
     case NgramTok(lo, hi) =>
       // char n-grams over the whole text, Whoosh NgramTokenizer-style:
       // every start offset, every size in [lo, hi]; gram position = ordinal
@@ -183,6 +235,17 @@ final class Chain(val spec: AnalyzerSpec) extends Serializable {
             }
             size += 1
           }
+        }
+        out
+      case ShingleF(n) =>
+        val out = mutable.ArrayBuffer.empty[Token]
+        var i = 0
+        while (i + n <= ts.length) {
+          val sb = new java.lang.StringBuilder(ts(i).term)
+          var j = i + 1
+          while (j < i + n) { sb.append(' ').append(ts(j).term); j += 1 }
+          out += Token(sb.toString, i) // re-numbered by shingle ordinal
+          i += 1
         }
         out
     }

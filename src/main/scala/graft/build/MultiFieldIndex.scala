@@ -24,14 +24,19 @@ import graft.model.CorpusRow
   */
 object MultiFieldIndex {
 
-  /** a schema field: name, how to derive its text from a corpus row, a
-    * schema-time boost, and the field's analysis chain
-    * ([R] cockatrice/schema.py field args: analyzer + boost) */
+  /** a schema field: name, how to derive its raw value from a corpus row,
+    * a schema-time boost, the field's analysis chain, and its TYPE
+    * ([R] cockatrice/schema.py field args: type + analyzer + boost).
+    * Non-text types index one sortable-encoded term per doc through the
+    * keyword chain (FieldTypes) — the analyzer arg is ignored for them. */
   final case class FieldSpec(name: String, extract: CorpusRow => String,
                              boost: Double = 1.0,
                              analyzer: graft.analysis.AnalyzerSpec =
-                               graft.analysis.AnalyzerSpec.Standard) {
+                               graft.analysis.AnalyzerSpec.Standard,
+                             ftype: FieldType = TextType) {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad field name: $name")
+    def effectiveAnalyzer: graft.analysis.AnalyzerSpec =
+      if (ftype == TextType) analyzer else graft.analysis.AnalyzerSpec.Keyword
   }
 
   /** the default two-field source-code schema: the file body plus its
@@ -52,9 +57,14 @@ object MultiFieldIndex {
     require(fields.nonEmpty && fields.map(_.name).distinct.size == fields.size)
     fields.map { f =>
       val ex = f.extract
-      val derived = corpus.map(r => CorpusRow(r.repo, r.path, r.commit, r.lang, ex(r)))
+      val ft = f.ftype
+      // typed fields index the sortable encoding; an unencodable value
+      // leaves the field absent for that doc (empty -> zero keyword tokens)
+      val derived = corpus.map(r => CorpusRow(r.repo, r.path, r.commit, r.lang,
+        if (ft == TextType) ex(r)
+        else FieldTypes.encodeValue(ft, ex(r)).getOrElse("")))
       f.name -> IndexBuilder.build(spark, derived, fieldDir(root, f.name),
-        cfg.copy(analyzer = f.analyzer))
+        cfg.copy(analyzer = f.effectiveAnalyzer))
     }.toMap
   }
 

@@ -28,6 +28,8 @@ object MultiFieldSearcher {
     val defaultField: String = fields.head.name
     def defaultHandle: IndexHandle = handles(defaultField)
     val boostOf: Map[String, Double] = fields.map(f => f.name -> f.boost).toMap
+    val typeOf: Map[String, graft.build.FieldType] =
+      fields.map(f => f.name -> f.ftype).toMap
   }
 
   def open(spark: SparkSession, root: String, fields: Seq[FieldSpec]): MultiHandle = {
@@ -66,13 +68,42 @@ object MultiFieldSearcher {
     }
   }
 
+  /** Encode query values on TYPED fields (numeric/datetime/boolean): terms
+    * and range bounds become the field's sortable encoding — after which a
+    * typed `field:[lo TO hi]` is an ordinary lexicon range scan (encoded
+    * term order == value order). An unencodable value matches nothing
+    * (QEmpty is absorbing inside AND, dropped inside OR — kernel semantics). */
+  private def encodeTyped(q: Q, typeOf: Map[String, graft.build.FieldType]): Q = {
+    def isTyped(f: String) =
+      typeOf.get(f).exists(_ != graft.build.TextType)
+    def enc(f: String, v: String): Option[String] =
+      graft.build.FieldTypes.encodeValue(typeOf(f), v)
+    def rec(q: Q): Q = q match {
+      case t: QTerm if isTyped(t.field) =>
+        enc(t.field, t.term).map(e => t.copy(term = e)).getOrElse(QEmpty)
+      case r: QRange if isTyped(r.field) =>
+        (enc(r.field, r.lo), enc(r.field, r.hi)) match {
+          case (Some(lo), Some(hi)) => r.copy(lo = lo, hi = hi)
+          case _                    => QEmpty
+        }
+      case QAnd(cs)        => QAnd(cs.map(rec))
+      case QOr(cs)         => QOr(cs.map(rec))
+      case QNot(p, n)      => QNot(rec(p), rec(n))
+      case QAndMaybe(p, m) => QAndMaybe(rec(p), rec(m))
+      case QRequire(p, f)  => QRequire(rec(p), rec(f))
+      case other           => other
+    }
+    rec(q)
+  }
+
   def search(spark: SparkSession, mh: MultiHandle, query: String, k: Int = 10,
              prune: Boolean = true,
              weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
     import spark.implicits._
-    val q0 = applyFieldBoosts(QueryParser.parse(query, defaultField = mh.defaultField,
-      chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
-      mh.boostOf)
+    val q0 = encodeTyped(applyFieldBoosts(
+      QueryParser.parse(query, defaultField = mh.defaultField,
+        chainOf = f => mh.handles.get(f).map(_.chain).getOrElse(graft.analysis.Chain.Standard)),
+      mh.boostOf), mh.typeOf)
     // multiterm expansion against the NODE'S FIELD's lexicon (same pruned
     // scan regimes as the single-field path)
     val q = if (q0.hasPrefix) {

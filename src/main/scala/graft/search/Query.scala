@@ -255,7 +255,7 @@ object QueryParser {
       } else {
         var j = i
         while (j < n && !s.charAt(j).isWhitespace && s.charAt(j) != '(' &&
-          s.charAt(j) != ')' && s.charAt(j) != '"') j += 1
+          s.charAt(j) != ')' && s.charAt(j) != '"' && s.charAt(j) != '[') j += 1
         val w = s.substring(i, j)
         w match {
           case "AND"      => out += TAnd
@@ -368,13 +368,16 @@ object QueryParser {
           case _                    => (defaultField, w1)
         }
         if (w.isEmpty) {
-          // `field:"a phrase"` — the quote ended the word token; the phrase
-          // (plus its own slop/boost token, if any) follows
+          // `field:"a phrase"` / `field:[lo TO hi]` — the quote/bracket
+          // ended the word token; the phrase or range follows
           peek match {
             case Some(Phrase(p)) =>
               pop()
               val (slop, b) = trailingMods()
               phraseNode(p, field, boost * b, slop)
+            case Some(RangeTok(lo, hi)) =>
+              pop()
+              QRange(lo, hi, field, boost)
             case _ => QEmpty // dangling `field:`
           }
         } else wordNode(w, field, boost)

@@ -129,4 +129,37 @@ class ChainSpec extends AnyFunSuite with PropSupport {
     // the hot stem query actually matches all docs (both surface forms)
     assert(graft.search.Searcher.search(spark, handle, "motors", 100).count() == 80)
   }
+
+  test("path/comma tokenizers and shingle filter semantics") {
+    val path = new Chain(AnalyzerSpec(PathTok, Nil))
+    assert(path.tokenize("a/b/c.txt").toList.map(t => (t.term, t.pos)) ==
+      List(("a", 0), ("a/b", 1), ("a/b/c.txt", 2)))
+    assert(path.tokenize("/usr/local/bin/").toList.map(t => (t.term, t.pos)) ==
+      List(("/usr", 0), ("/usr/local", 1), ("/usr/local/bin", 2)))
+    assert(path.tokenize("plain").toList.map(t => (t.term, t.pos)) ==
+      List(("plain", 0)))
+    assert(path.tokenize("").isEmpty)
+
+    val comma = new Chain(AnalyzerSpec(CommaTok, List(LowerF)))
+    assert(comma.tokenize("Alpha, beta ,, GAMMA ").toList.map(t => (t.term, t.pos)) ==
+      List(("alpha", 0), ("beta", 1), ("gamma", 2)))
+
+    val sh = new Chain(AnalyzerSpec(StandardTok, List(LowerF, ShingleF(2))))
+    assert(sh.tokenize("One two three").toList.map(t => (t.term, t.pos)) ==
+      List(("one two", 0), ("two three", 1)))
+    assert(sh.tokenize("one").isEmpty) // shorter than the shingle size
+
+    // keyword: the whole value, verbatim
+    val kw = new Chain(AnalyzerSpec(KeywordTok, Nil))
+    assert(kw.tokenize("Exact Value-7").toList.map(t => (t.term, t.pos)) ==
+      List(("Exact Value-7", 0)))
+    assert(kw.tokenize("").isEmpty)
+
+    // spec strings round-trip for the new registry entries
+    Seq(AnalyzerSpec(PathTok, Nil), AnalyzerSpec(CommaTok, List(LowerF)),
+      AnalyzerSpec(KeywordTok, Nil),
+      AnalyzerSpec(StandardTok, List(LowerF, StopF(), ShingleF(3)))).foreach { s =>
+      assert(AnalyzerSpec.fromString(s.asString) == s, s.asString)
+    }
+  }
 }

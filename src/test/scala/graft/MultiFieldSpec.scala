@@ -194,4 +194,121 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(zz.isEmpty, s"stale upsert generation visible: ${zz.toSeq}")
     assert(Searcher.search(spark, h2, "yymarker", 10).collect().length == 2)
   }
+
+  test("typed fields: numeric/datetime/boolean ranges and terms == brute force") {
+    import spark.implicits._
+    import graft.build.{BooleanType, DatetimeType, NumericType}
+    def idOf(r: CorpusRow): Long = java.lang.Long.parseLong(r.commit.takeRight(8), 16)
+    val root = SparkTestBase.tmpDir("typed")
+    val fields = Seq(
+      FieldSpec("content", _.content),
+      FieldSpec("size", r => r.content.length.toString, ftype = NumericType),
+      FieldSpec("mtime", r => java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(idOf(r) % 50).toString, ftype = DatetimeType),
+      FieldSpec("flag", r => if (idOf(r) % 3 == 0) "true" else "false",
+        ftype = BooleanType))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+
+    val st = stamped(rows)
+    val n = st.size
+    def idf(df: Int): Double = math.log(n.toDouble / (df + 1.0)) + 1.0
+    // every typed field has exactly one token per doc: fl = avgfl = 1, so
+    // the BM25 contribution reduces to idf of the doc's value group
+    val sizes = st.map { case (d, r) => d -> r.content.length }
+    val sizeCnt = sizes.groupBy(_._2).view.mapValues(_.size).toMap
+    val days = st.map { case (d, r) => d -> (idOf(r) % 50) }
+    val dayCnt = days.groupBy(_._2).view.mapValues(_.size).toMap
+    val flags = st.map { case (d, r) => d -> (idOf(r) % 3 == 0) }
+    val trueCnt = flags.count(_._2)
+
+    def expect(scored: Seq[(Long, Double)], k: Int = 10): Seq[(Long, Double)] =
+      scored.sortBy { case (d, s) => (-s, d) }.take(k)
+
+    assertMatches(
+      MultiFieldSearcher.search(spark, mh, "size:[140 TO 200]", 10).collect().toSeq,
+      expect(sizes.collect { case (d, l) if l >= 140 && l <= 200 =>
+        (d, idf(sizeCnt(l))) }), "numrange")
+
+    // day window 4..9 (Jan 5 .. Jan 10)
+    assertMatches(
+      MultiFieldSearcher.search(spark, mh,
+        "mtime:[2020-01-05 TO 2020-01-10]", 10).collect().toSeq,
+      expect(days.collect { case (d, day) if day >= 4 && day <= 9 =>
+        (d, idf(dayCnt(day))) }), "daterange")
+
+    // datetime bounds with a time component, lowercased separator
+    assertMatches(
+      MultiFieldSearcher.search(spark, mh,
+        "mtime:[2020-01-05t00:00 TO 2020-01-05t23:59]", 10).collect().toSeq,
+      expect(days.collect { case (d, day) if day == 4 =>
+        (d, idf(dayCnt(day))) }), "daterange-time")
+
+    assertMatches(
+      MultiFieldSearcher.search(spark, mh, "flag:true", n).collect().toSeq.take(10),
+      expect(flags.collect { case (d, true) => (d, idf(trueCnt)) }), "bool")
+
+    // conjunction across typed fields: scores add
+    assertMatches(
+      MultiFieldSearcher.search(spark, mh,
+        "flag:true AND size:[140 TO 200]", 10).collect().toSeq,
+      expect(st.collect { case (d, r)
+        if idOf(r) % 3 == 0 && r.content.length >= 140 && r.content.length <= 200 =>
+          (d, idf(trueCnt) + idf(sizeCnt(r.content.length))) }), "bool+numrange")
+
+    // unencodable values match nothing (and kill an AND)
+    assert(MultiFieldSearcher.search(spark, mh, "size:notanumber", 10)
+      .collect().isEmpty)
+    assert(MultiFieldSearcher.search(spark, mh,
+      "flag:true AND size:[abc TO xyz]", 10).collect().isEmpty)
+  }
+
+  test("schema-from-config: config-built index == code-built (digests + query)") {
+    import spark.implicits._
+    val cfgJson =
+      """[{"name": "content", "source": "content"},
+        |  {"name": "dirs", "source": "path", "analyzer": "path", "boost": 2.0},
+        |  {"name": "size", "source": "content_length", "type": "numeric"}]"""
+        .stripMargin
+    val cfgFields = graft.build.SchemaConfig.fromJson(cfgJson)
+    val codeFields = Seq(
+      FieldSpec("content", _.content),
+      FieldSpec("dirs", _.path, 2.0,
+        graft.analysis.AnalyzerSpec(graft.analysis.PathTok, Nil)),
+      FieldSpec("size", r => r.content.length.toString,
+        ftype = graft.build.NumericType))
+    assert(cfgFields.map(f => (f.name, f.boost, f.ftype, f.effectiveAnalyzer)) ==
+      codeFields.map(f => (f.name, f.boost, f.ftype, f.effectiveAnalyzer)))
+
+    val rootA = SparkTestBase.tmpDir("cfgA")
+    val rootB = SparkTestBase.tmpDir("cfgB")
+    MultiFieldIndex.build(spark, spark.createDataset(rows), rootA, cfgFields,
+      IndexConfig(segSize = 40))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), rootB, codeFields,
+      IndexConfig(segSize = 40))
+    def digests(root: String): Map[String, Seq[(Int, String)]] =
+      cfgFields.map { f =>
+        val d = MultiFieldIndex.fieldDir(root, f.name)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(d), spark.sparkContext.hadoopConfiguration)
+        f.name -> graft.build.IndexBuilder.readManifests(fs, d)
+          .map(m => (m.segId, m.digest))
+      }.toMap
+    assert(digests(rootA) == digests(rootB))
+
+    // the config-built index answers path-tokenized and numeric queries
+    val mh = MultiFieldSearcher.open(spark, rootA, cfgFields)
+    val p = rows.head.path
+    assert(MultiFieldSearcher.search(spark, mh, s"dirs:$p", 10).collect().nonEmpty)
+    assert(MultiFieldSearcher.search(spark, mh, "size:[1 TO 999999]", 10)
+      .collect().nonEmpty)
+
+    // malformed configs fail fast
+    intercept[Exception](graft.build.SchemaConfig.fromJson("""[{"source":"path"}]"""))
+    intercept[Exception](graft.build.SchemaConfig.fromJson(
+      """[{"name":"x","source":"nope"}]"""))
+    intercept[Exception](graft.build.SchemaConfig.fromJson(
+      """[{"name":"x","type":"complex"}]"""))
+  }
 }
