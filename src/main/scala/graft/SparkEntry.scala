@@ -331,13 +331,13 @@ object SparkEntry {
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
     }),
-    // SRP-bucketed approximate variant (scale path); the oracle replicates
-    // the signature + radius-2 probe set in SQL and ranks the same
+    // SRP-bucketed ANN over the PERSISTED index (sig precomputed, table
+    // sorted by it, probe = pushed sig IN over the radius ball); the oracle
+    // replicates the signature + radius probe set in SQL and ranks the same
     // candidate set by exact cosine
     "ann_srp_topk" -> ((s, dir) => {
       import s.implicits._
-      Similarity.srpTopK(embTable(s, dir), "vec_id", "embedding",
-          queryVec(s, dir), 60)
+      Similarity.srpTopKIndexed(s, annIndexFor(s, dir), queryVec(s, dir), 60)
         .withColumn("r6", round($"sim", 6))
         .orderBy($"r6".desc, $"id".asc)
         .limit(10)
@@ -369,6 +369,16 @@ object SparkEntry {
     s.read.parquet(s"$sfDir/documents.parquet")
   private def embTable(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/embeddings.parquet")
+  /** persisted SRP ANN index per sfDir (built once, probed by the key) */
+  private val builtAnn = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def annIndexFor(s: SparkSession, sfDir: String): String =
+    builtAnn.computeIfAbsent(sfDir, { _ =>
+      val dir = s"/tmp/graft-annindex-$FormatVersion-" +
+        sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      Similarity.buildAnnIndex(embTable(s, sfDir), "vec_id", "embedding", dir)
+      dir
+    })
+
   private val qvCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
   private def queryVec(s: SparkSession, sfDir: String): Array[Float] =
     qvCache.computeIfAbsent(sfDir, { _ =>

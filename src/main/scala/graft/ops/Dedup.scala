@@ -64,10 +64,19 @@ object Dedup {
     * exhaustive pairs above the threshold up to that miss probability (the
     * DuckDB oracle computes the exhaustive set); lowering `threshold`
     * without re-tuning bands/rows weakens the recall guarantee — the
-    * band-reliable threshold for (b, r) is roughly (ln(b)/b)^(1/r). */
+    * band-reliable threshold for (b, r) is roughly (ln(b)/b)^(1/r).
+    *
+    * `maxBucket` (0 = exact): a bucket of k ids emits k(k-1)/2 candidate
+    * rows — one degenerate bucket (boilerplate text) is quadratic. Above
+    * the cap the bucket emits STAR pairs to its minimum id instead
+    * (linear): duplicate CLUSTERS stay connected through the hub (the
+    * transitive closure is what dedup consumes), but a non-duplicate pair
+    * that only co-occurred in capped buckets can be missed — the standard
+    * corpus-scale trade. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, bands: Int = 45, rowsPerBand: Int = 3,
-                   shingleSize: Int = 3, seed: Long = 42L): DataFrame = {
+                   shingleSize: Int = 3, seed: Long = 42L,
+                   maxBucket: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val k = bands * rowsPerBand
@@ -103,12 +112,16 @@ object Dedup {
         }
     }.toDF("band", "bucket", "id")
 
+    val cap = maxBucket
     val candidates = bandRows.as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._3).toArray.sorted
-        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
-          yield (ids(i), ids(j))
+        if (cap > 0 && ids.length > cap)
+          ids.iterator.drop(1).map(j => (ids(0), j)) // star to the hub
+        else
+          for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
       }
       .distinct()
       .toDF("id_a", "id_b")
@@ -215,9 +228,15 @@ object Dedup {
     * most maxHamming chunks, so by pigeonhole it agrees EXACTLY on at least
     * one of the maxHamming+1 chunks — then exact hamming verify inside each
     * block. Recall is therefore 1.0 by construction (not probabilistic);
-    * the exhaustive DuckDB oracle asserts exact equality. */
+    * the exhaustive DuckDB oracle asserts exact equality.
+    *
+    * `maxBucket` (0 = exact): blocks larger than the cap emit star pairs
+    * to the block's minimum id instead of all k(k-1)/2 (see minhashPairs —
+    * same trade: cluster connectivity preserved, recall 1.0 claim waived
+    * for pairs only co-blocked in capped buckets). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, seed: Long = 7L): DataFrame = {
+                   maxHamming: Int = 3, seed: Long = 7L,
+                   maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, s"maxHamming=$maxHamming")
     val spark = df.sparkSession
     import spark.implicits._
@@ -230,15 +249,22 @@ object Dedup {
         (c, (sig >>> lo) & ((1L << w) - 1L), id, sig)
       }
     }
+    val cap = maxBucket
     blocked.groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
         val xs = it.map(r => (r._3, r._4)).toArray.sortBy(_._1)
-        for {
-          i <- xs.indices.iterator
-          j <- (i + 1) until xs.length
-          d = java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2)
-          if d <= maxHamming
-        } yield (xs(i)._1, xs(j)._1, d.toLong)
+        if (cap > 0 && xs.length > cap)
+          (1 until xs.length).iterator.flatMap { j =>
+            val d = java.lang.Long.bitCount(xs(0)._2 ^ xs(j)._2)
+            if (d <= maxHamming) Some((xs(0)._1, xs(j)._1, d.toLong)) else None
+          }
+        else
+          for {
+            i <- xs.indices.iterator
+            j <- (i + 1) until xs.length
+            d = java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2)
+            if d <= maxHamming
+          } yield (xs(i)._1, xs(j)._1, d.toLong)
       }
       .distinct()
       .toDF("id_a", "id_b", "hamming")

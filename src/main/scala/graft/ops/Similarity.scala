@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an Array[Float] column.
@@ -88,10 +89,16 @@ object Similarity {
     * angle theta: 1 - (1 - p^bits)^bands with p = 1 - theta/pi; the
     * defaults (16 bands x 8 bits) give miss ~2e-7 at sim 0.95 and ~3e-3 at
     * sim 0.8 — raise `bands` for tighter guarantees. Bucket width prunes
-    * random pairs at ~0.5^bits per band. */
+    * random pairs at ~0.5^bits per band.
+    *
+    * `maxBucket` (0 = exact): buckets above the cap emit star pairs to
+    * their minimum id instead of all k(k-1)/2 (one zero-vector cluster is
+    * otherwise quadratic) — cluster connectivity preserved, recall for
+    * pairs only co-bucketed in capped buckets waived (Dedup.minhashPairs
+    * has the same knob and trade). */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, bands: Int = 16, bits: Int = 8,
-                     seed: Long = 11L): DataFrame = {
+                     seed: Long = 11L, maxBucket: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long"), col(vecCol))
@@ -101,12 +108,16 @@ object Similarity {
         (t, srpSig(v, bits, seed + 7919L * t).toLong, id)
       }
     }.toDF("band", "bucket", "id")
+    val cap = maxBucket
     val candidates = bandRows.as[(Int, Long, Long)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (_, it) =>
         val ids = it.map(_._3).toArray.sorted
-        for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
-          yield (ids(i), ids(j))
+        if (cap > 0 && ids.length > cap)
+          ids.iterator.drop(1).map(j => (ids(0), j)) // star to the hub
+        else
+          for (i <- ids.indices.iterator; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
       }
       .distinct()
       .toDF("id_a", "id_b")
@@ -150,9 +161,10 @@ object Similarity {
     * small distributed k-means (deterministic seeded init: the nLists rows
     * with the smallest id hashes; `iters` Lloyd rounds of broadcast-assign
     * + groupBy-average); a query exact-ranks only the `nProbe` nearest
-    * lists. At scale the assignment column is precomputed and the table
-    * partitioned/bucketed by it, so a probe reads nProbe/nLists of the
-    * data; here assignment is computed in-flight. Recall is approximate —
+    * lists. THIS variant computes assignments in-flight (index-free path);
+    * the serving path is [[buildIvfIndex]] + [[ivfTopKIndexed]], where the
+    * assignment is a partition column and a probe reads nProbe/nLists of
+    * the data via partition pruning. Recall is approximate —
     * property-tested against the exact scan on clustered corpora. Centroid
     * averages use floating-point aggregation, so centroids (not
     * correctness of the exact re-rank) may vary in the last bits across
@@ -165,50 +177,11 @@ object Similarity {
     val vecs = df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])].cache()
     try {
-      def dist2(a: Array[Double], v: Array[Float]): Double = {
-        var s = 0.0; var i = 0
-        while (i < a.length) { val d = a(i) - v(i); s += d * d; i += 1 }
-        s
-      }
-      def nearest(cs: Array[Array[Double]], v: Array[Float]): Int = {
-        var best = 0; var bd = Double.MaxValue; var c = 0
-        while (c < cs.length) {
-          val d = dist2(cs(c), v)
-          if (d < bd) { bd = d; best = c }
-          c += 1
-        }
-        best
-      }
-      // deterministic init: the nLists vectors with the smallest id hash
-      var centroids: Array[Array[Double]] = vecs
-        .map { case (id, v) => (graft.corpus.SynthCorpus.hash64(seed, id, 0L), v) }
-        .orderBy($"_1").limit(nLists)
-        .collect().map(_._2.map(_.toDouble))
-      var it = 0
-      while (it < iters) {
-        val cB = spark.sparkContext.broadcast(centroids)
-        val sums = vecs
-          .map { case (_, v) => (nearest(cB.value, v), (v.map(_.toDouble), 1L)) }
-          .groupByKey(_._1)
-          .mapGroups { (c, rows) =>
-            val acc = new Array[Double](query.length)
-            var n = 0L
-            rows.foreach { case (_, (v, _)) =>
-              var i = 0
-              while (i < v.length) { acc(i) += v(i); i += 1 }
-              n += 1
-            }
-            (c, acc, n)
-          }.collect()
-        val next = centroids.clone()
-        sums.foreach { case (c, acc, n) => next(c) = acc.map(_ / n) }
-        centroids = next
-        it += 1
-      }
+      val centroids = trainKMeans(vecs, nLists, iters, seed)
       val cB = spark.sparkContext.broadcast(centroids)
       val probeSet: Set[Int] = centroids.indices
         .sortBy(c => dist2(centroids(c), query)).take(nProbe).toSet
-      vecs.filter { case (_, v) => probeSet.contains(nearest(cB.value, v)) }
+      vecs.filter { case (_, v) => probeSet.contains(nearestCentroid(cB.value, v)) }
         .toDF("id", "vec")
         .select(col("id"), cosineCol(col("vec"), query).as("sim"))
         .orderBy(col("sim").desc, col("id").asc)
@@ -216,15 +189,12 @@ object Similarity {
     } finally vecs.unpersist()
   }
 
-  /** LSH-bucketed ANN: candidates are vectors whose SRP signature lies
-    * within `radius` hamming bits of the query's, exact cosine over the
-    * candidates only. Expected scan fraction on unstructured data is
-    * P(Binomial(bits, 1/2) <= radius) — ~10% for (16, 5), far lower on
-    * clustered corpora where near-neighbors concentrate at low hamming
-    * distance (recall property-tested against cosineTopK). At scale the
-    * signature column is precomputed and the table bucketed/sorted by it:
-    * a low radius then turns into an enumerated bucket-IN probe that prunes
-    * the scan; the bit_count form below is the general predicate. */
+  /** LSH-bucketed ANN, in-flight variant: candidates are vectors whose SRP
+    * signature lies within `radius` hamming bits of the query's, exact
+    * cosine over the candidates only. Computes signatures per call — a full
+    * scan, kept as the index-free path and the reference for
+    * [[srpTopKIndexed]] (results are identical for equal parameters).
+    * The serving path is [[buildAnnIndex]] + [[srpTopKIndexed]]. */
   def srpTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int, bits: Int = 16, radius: Int = 5,
               seed: Long = 11L): DataFrame = {
@@ -239,5 +209,181 @@ object Similarity {
       .select(col("id"), cosineCol(col("vec"), query).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Persisted SRP ANN index: the signature PRECOMPUTED as a column and the
+    * table written range-partitioned + sorted by it, so parquet min/max
+    * stats on `sig` are tight per file/row-group. A probe then pushes an
+    * enumerated `sig IN (...)` down to the scan — no per-query signature
+    * map over the corpus (the scale fix for srpTopK's full scan).
+    * Pruning granularity is honest: a hamming BALL's members scatter across
+    * the sorted-sig range, so whole files are skipped once row groups are
+    * narrow relative to the 2^bits space (the billion-row regime; an exact
+    * bucket probe skips files at any scale), while the ball probe always
+    * prunes at the row level. Parameters persist in a sidecar so probes
+    * can't drift from the build. */
+  def buildAnnIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                    bits: Int = 16, seed: Long = 11L, numFiles: Int = 0): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val files = if (numFiles > 0) numFiles
+      else math.max(2, spark.sessionState.conf.numShufflePartitions / 4)
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, v, srpSig(v, bits, seed)) }
+      .toDF("id", "vec", "sig")
+      .repartitionByRange(files, col("sig"), col("id"))
+      .sortWithinPartitions("sig", "id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/vectors")
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(dir, "ann.json"), true)
+    out.write(s"""{"bits":$bits,"seed":$seed}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** every signature within `radius` hamming bits of `sig` (the probe's
+    * bucket enumeration): sum of C(bits, 0..radius) values */
+  def sigsWithin(sig: Int, bits: Int, radius: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def rec(startBit: Int, left: Int, cur: Int): Unit = {
+      out += cur
+      if (left > 0) {
+        var b = startBit
+        while (b < bits) { rec(b + 1, left - 1, cur ^ (1 << b)); b += 1 }
+      }
+    }
+    rec(0, radius, sig)
+    out.toArray
+  }
+
+  /** Probe the persisted ANN index: enumerate the radius-ball buckets and
+    * push `sig IN (...)` into the parquet scan (row groups outside the
+    * probed signatures prune on min/max stats — the scan reads a fraction
+    * of the index), then exact-cosine-rank the candidates. Results are
+    * identical to srpTopK at equal (bits, radius, seed). */
+  def srpTopKIndexed(spark: SparkSession, dir: String, query: Array[Float],
+                     k: Int, radius: Int = 5): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(dir, "ann.json"))
+    val meta = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    def l(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(meta).get.group(1).toLong
+    val bits = l("bits").toInt
+    val seed = l("seed")
+    val probe = sigsWithin(srpSig(query, bits, seed), bits, radius)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("sig").isin(probe.map(Int.box): _*))
+      .select(col("id"), cosineCol(col("vec"), query).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Persisted IVF index: k-means centroids in a sidecar, vectors written
+    * partitioned BY ASSIGNED LIST — a probe's `list IN (...)` is partition
+    * pruning, reading nProbe/nLists of the data (the scale fix for
+    * ivfTopK's per-query assignment scan). */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+                    nLists: Int = 16, iters: Int = 5, seed: Long = 17L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])].cache()
+    try {
+      val centroids = trainKMeans(vecs, nLists, iters, seed)
+      val cB = spark.sparkContext.broadcast(centroids)
+      vecs.map { case (id, v) => (id, v, nearestCentroid(cB.value, v)) }
+        .toDF("id", "vec", "list")
+        .write.mode(SaveMode.Overwrite).partitionBy("list")
+        .parquet(s"$dir/vectors")
+      val fs = FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration)
+      val json = centroids.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      val out = fs.create(new Path(dir, "ivf.json"), true)
+      out.write(s"""{"centroids":$json}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    } finally { vecs.unpersist(); () }
+  }
+
+  /** Probe the persisted IVF index: nearest nProbe centroid lists, read via
+    * partition pruning, exact cosine among their vectors only. */
+  def ivfTopKIndexed(spark: SparkSession, dir: String, query: Array[Float],
+                     k: Int, nProbe: Int = 4): DataFrame = {
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(dir, "ivf.json"))
+    val meta = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val centroids: Array[Array[Double]] =
+      """\[([^\[\]]+)\]""".r.findAllMatchIn(
+        meta.stripPrefix("""{"centroids":[""").stripSuffix("]}"))
+        .map(_.group(1).split(',').map(_.toDouble)).toArray
+    val probe = centroids.indices
+      .sortBy(c => dist2(centroids(c), query)).take(nProbe)
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("list").isin(probe.map(Int.box): _*))
+      .select(col("id"), cosineCol(col("vec"), query).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  private[ops] def dist2(a: Array[Double], v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - v(i); s += d * d; i += 1 }
+    s
+  }
+
+  private[ops] def nearestCentroid(cs: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bd = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = dist2(cs(c), v)
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** distributed Lloyd k-means with deterministic seeded init (the nLists
+    * rows with the smallest id hashes) — shared by ivfTopK and
+    * buildIvfIndex */
+  private[ops] def trainKMeans(vecs: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                               nLists: Int, iters: Int,
+                               seed: Long): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var centroids: Array[Array[Double]] = vecs
+      .map { case (id, v) => (graft.corpus.SynthCorpus.hash64(seed, id, 0L), v) }
+      .orderBy($"_1").limit(nLists)
+      .collect().map(_._2.map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val cB = spark.sparkContext.broadcast(centroids)
+      val sums = vecs
+        .map { case (_, v) => (nearestCentroid(cB.value, v), (v.map(_.toDouble), 1L)) }
+        .groupByKey(_._1)
+        .mapGroups { (c, rows) =>
+          var acc: Array[Double] = null
+          var n = 0L
+          rows.foreach { case (_, (v, _)) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (c, acc, n)
+        }.collect()
+      val next = centroids.clone()
+      sums.foreach { case (c, acc, n) => next(c) = acc.map(_ / n) }
+      centroids = next
+      it += 1
+    }
+    centroids
   }
 }

@@ -187,6 +187,110 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall, exact=$exact ivf=$ivf")
   }
 
+  private def scanStats(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no file scan in plan")
+    (scans.map(_.metrics("numFiles").value).sum,
+      scans.map(_.metrics("numOutputRows").value).sum)
+  }
+
+  test("persisted SRP index: probe == in-flight srpTopK, pushed IN prunes the scan") {
+    import spark.implicits._
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 2000L - 1000L).toFloat / 1000f
+    }
+    val rows = (0 until 400).map(i => (i.toLong, vec(500L + i, 24)))
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows(7)._2
+    val dir = SparkTestBase.tmpDir("annix")
+    Similarity.buildAnnIndex(df, "vec_id", "embedding", dir, numFiles = 8)
+
+    val inflight = Similarity.srpTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val probeDf = Similarity.srpTopKIndexed(spark, dir, q, 10)
+    val probed = probeDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == inflight, s"probed=$probed inflight=$inflight")
+
+    // the probe is a pushed IN over the persisted sig column — no per-query
+    // signature map (no object (de)serialization anywhere in the plan)
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("In(sig"), s"no pushed sig IN:\n$plan")
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("MapElements"),
+      s"per-row object map survived in probe plan:\n$plan")
+    // the radius ball's members are scattered across the sorted-sig range,
+    // so at this tiny scale every file's [min,max] intersects the IN set —
+    // the pushed filter still restricts the candidate set...
+    val candidates = spark.read.parquet(s"$dir/vectors")
+      .filter(col("sig").isin(Similarity.sigsWithin(
+        Similarity.srpSig(q), 16, 5).map(Int.box): _*)).count()
+    assert(candidates < rows.size, s"ball admitted all $candidates rows")
+    // ...and an exact-bucket probe (radius 0) demonstrates physical
+    // ROW-GROUP skipping on the same index: only the sig-sorted group(s)
+    // containing the probed value decode (plain parquet prunes row groups
+    // on min/max; pruning the file LISTING as well needs a stats-aware
+    // table format — the Iceberg seam of §1.2)
+    val exactProbe = Similarity.srpTopKIndexed(spark, dir, q, 10, radius = 0)
+    exactProbe.collect()
+    val (_, rows0) = scanStats(exactProbe)
+    assert(rows0 < rows.size,
+      s"radius-0 probe decoded all $rows0 rows — no row-group pruning")
+  }
+
+  test("persisted IVF index: partition-pruned probe keeps recall on clustered data") {
+    import spark.implicits._
+    def vec(seed: Long, d: Int): Array[Float] = Array.tabulate(d) { j =>
+      (SynthCorpus.hash64(seed, j.toLong, 0L) % 1000L).toFloat / 1000f
+    }
+    val rows = for (b <- 0 until 20; c <- 0 until 10) yield {
+      val base = vec(700L + b, 32)
+      val noisy = base.zipWithIndex.map { case (x, j) =>
+        x + (SynthCorpus.hash64(800L + b, c.toLong, j.toLong) % 100L).toFloat / 2000f
+      }
+      ((b * 10 + c).toLong, noisy)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val dir = SparkTestBase.tmpDir("ivfix")
+    Similarity.buildIvfIndex(df, "vec_id", "embedding", dir, nLists = 16, iters = 5)
+
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val probeDf = Similarity.ivfTopKIndexed(spark, dir, q, 10, nProbe = 4)
+    val probed = probeDf.collect().map(_.getLong(0)).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall, exact=$exact probed=$probed")
+    // partition pruning: only the probed lists' rows are read
+    val (_, rowsOut) = scanStats(probeDf)
+    assert(rowsOut < rows.size, s"probe scanned all $rowsOut rows")
+    val plan = probeDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter:\n$plan")
+  }
+
+  test("degenerate LSH buckets: maxBucket caps quadratic emit to star pairs") {
+    import spark.implicits._
+    val n = 200
+    val same = (0 until n).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val df = same.toDF("doc_id", "text")
+    val star = (1 until n).map(j => (0L, j.toLong)).toSet
+
+    val mh = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.7, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == star, s"minhash cap: got ${mh.size} pairs")
+
+    val sp = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp == star, s"simhash cap: got ${sp.size} pairs")
+
+    val vecs = (0 until n).map(i => (i.toLong,
+      Array.tabulate(16)(j => (j + 1).toFloat))) // identical vectors
+    val cp = Similarity.cosinePairsLsh(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 0.9, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cp == star, s"cosine-lsh cap: got ${cp.size} pairs")
+  }
+
   test("multimodal plumbing: binary payloads -> deterministic stub features") {
     import spark.implicits._
     val df = Seq((0L, "hello world"), (1L, ""), (2L, "abc")).toDF("doc_id", "text")
