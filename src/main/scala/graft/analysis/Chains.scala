@@ -50,6 +50,16 @@ final case class NgramF(minGram: Int, maxGram: Int) extends FilterSpec
   * surviving tokens joined with a space, positions RE-NUMBERED 0.. by
   * shingle ordinal (pinned); streams shorter than `size` emit nothing */
 final case class ShingleF(size: Int) extends FilterSpec
+/** split mixed-case / alpha-digit compounds (Whoosh IntraWordFilter):
+  * "PowerShot500" -> Power, Shot, 500, each at the source token's position;
+  * non-alphanumeric chars separate; empty parts drop */
+case object IntraWordF extends FilterSpec
+/** regex substitution on each term (Whoosh SubstitutionFilter); empty
+  * results drop. Pattern/replacement are URL-encoded in the spec string. */
+final case class SubstitutionF(pattern: String, replacement: String) extends FilterSpec
+/** reverse each term (Whoosh ReverseTextFilter — the classic
+  * leading-wildcard companion index) */
+case object ReverseF extends FilterSpec
 
 final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec]) {
   /** compact round-trip form stored in stats.json */
@@ -69,6 +79,11 @@ final case class AnalyzerSpec(tokenizer: TokenizerSpec, filters: List[FilterSpec
       case PorterStemF    => "stem"
       case NgramF(a, b)   => s"ngramf($a,$b)"
       case ShingleF(n)    => s"shingle($n)"
+      case IntraWordF     => "intraword"
+      case SubstitutionF(p, r) =>
+        val e = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+        s"sub(${e(p)},${e(r)})"
+      case ReverseF       => "reverse"
     }
     (t +: fs).mkString("|")
   }
@@ -84,6 +99,7 @@ object AnalyzerSpec {
   private val NgramFRe = """ngramf\((\d+),(\d+)\)""".r
   private val StopRe = """stop\((\d+)\)""".r
   private val ShingleRe = """shingle\((\d+)\)""".r
+  private val SubRe = """sub\(([^,()]*),([^,()]*)\)""".r
 
   def fromString(s: String): AnalyzerSpec = {
     val parts = s.split('|').toList
@@ -103,6 +119,11 @@ object AnalyzerSpec {
       case "stem"           => PorterStemF
       case NgramFRe(a, b)   => NgramF(a.toInt, b.toInt)
       case ShingleRe(n)     => ShingleF(n.toInt)
+      case "intraword"      => IntraWordF
+      case SubRe(p, r)      =>
+        val d = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+        SubstitutionF(d(p), d(r))
+      case "reverse"        => ReverseF
       case other            => sys.error(s"unknown filter: $other")
     }
     AnalyzerSpec(tok, fs)
@@ -248,11 +269,56 @@ final class Chain(val spec: AnalyzerSpec) extends Serializable {
           i += 1
         }
         out
+      case IntraWordF =>
+        val out = mutable.ArrayBuffer.empty[Token]
+        ts.foreach { t => Chain.splitIntraWord(t.term, p => out += Token(p, t.pos)) }
+        out
+      case SubstitutionF(p, r) =>
+        val re = java.util.regex.Pattern.compile(p)
+        ts.flatMap { t =>
+          val s = re.matcher(t.term).replaceAll(r)
+          if (s.isEmpty) None else Some(t.copy(term = s))
+        }
+      case ReverseF =>
+        ts.map(t => t.copy(term = t.term.reverse))
     }
 }
 
 object Chain {
   val Standard = new Chain(AnalyzerSpec.Standard)
+
+  /** emit the intra-word parts of `w` (IntraWordF): boundaries at
+    * lower->Upper case transitions, alpha<->digit transitions, and
+    * non-alphanumeric separators; "ABCWord" splits "ABC"/"Word"
+    * (an upper run followed by lower keeps its last upper with the
+    * lower part — the classic camel-case rule) */
+  private[analysis] def splitIntraWord(w: String, emit: String => Unit): Unit = {
+    val n = w.length
+    var start = 0
+    var i = 0
+    def cls(c: Char): Int =
+      if (c.isDigit) 2 else if (c.isLetter) { if (c.isUpper) 1 else 0 } else 3
+    while (i < n) {
+      val c = cls(w.charAt(i))
+      if (c == 3) { // separator
+        if (i > start) emit(w.substring(start, i))
+        start = i + 1
+      } else if (i > start) {
+        val p = cls(w.charAt(i - 1))
+        val boundary =
+          (p == 0 && c == 1) ||                       // lower -> Upper
+          (p != 2 && c == 2) || (p == 2 && c != 2) || // alpha <-> digit
+          (p == 1 && c == 0 && i - 1 > start)         // UPPER run -> Camel tail
+        if (boundary) {
+          val cut = if (p == 1 && c == 0) i - 1 else i
+          if (cut > start) emit(w.substring(start, cut))
+          start = cut
+        }
+      }
+      i += 1
+    }
+    if (start < n) emit(w.substring(start))
+  }
 
   /** NFD-decompose and strip combining marks (CharsetFilter accent map) */
   def foldAccents(s: String): String = {

@@ -162,4 +162,35 @@ class ChainSpec extends AnyFunSuite with PropSupport {
       assert(AnalyzerSpec.fromString(s.asString) == s, s.asString)
     }
   }
+
+  test("intraword/substitution/reverse filters") {
+    val iw = new Chain(AnalyzerSpec(WhitespaceTok, List(IntraWordF, LowerF)))
+    assert(iw.tokenize("PowerShot500 ABCWord wi-fi").toList.map(t => (t.term, t.pos)) ==
+      List(("power", 0), ("shot", 0), ("500", 0),
+           ("abc", 1), ("word", 1),
+           ("wi", 2), ("fi", 2)))
+    assert(iw.tokenize("plain x9").toList.map(t => (t.term, t.pos)) ==
+      List(("plain", 0), ("x", 1), ("9", 1)))
+
+    val sub = new Chain(AnalyzerSpec(WhitespaceTok,
+      List(LowerF, SubstitutionF("[0-9]+", "#"))))
+    assert(sub.tokenize("abc123def 42").toList.map(_.term) == List("abc#def", "#"))
+    // substitution to empty drops the token
+    val sub2 = new Chain(AnalyzerSpec(WhitespaceTok,
+      List(SubstitutionF("^x+$", ""))))
+    assert(sub2.tokenize("xxx keep").toList.map(_.term) == List("keep"))
+
+    val rev = new Chain(AnalyzerSpec(WhitespaceTok, List(LowerF, ReverseF)))
+    assert(rev.tokenize("Search engine").toList.map(_.term) ==
+      List("hcraes", "enigne"))
+
+    // spec round-trip incl. URL-encoded substitution args (regex chars)
+    Seq(
+      AnalyzerSpec(WhitespaceTok, List(IntraWordF, LowerF)),
+      AnalyzerSpec(StandardTok, List(SubstitutionF("[0-9]+(\\.[0-9]+)?", "#"), ReverseF)),
+      AnalyzerSpec(WhitespaceTok, List(SubstitutionF("a,b|c", "(x)")))
+    ).foreach { s =>
+      assert(AnalyzerSpec.fromString(s.asString) == s, s.asString)
+    }
+  }
 }

@@ -363,6 +363,27 @@ class SparkIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty)
   }
 
+  test("compaction with a 10^5-id tombstone set: no literal plan bloat") {
+    import spark.implicits._
+    val rows = (0 until 120).map { i =>
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(31L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("bigdel")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 40))
+    // a heavily-deleted index's compaction purge set: 10^5 ids riding the
+    // broadcast sorted-array probe (never Catalyst literals) — includes a
+    // few live ids and a mass of already-purged ones from absorbed ranges
+    val dels = (0L until 100000L).map(_ + 7L).toSet + 3L + 77L
+    val merged = Merger.mergeGroup(spark, dir, Seq(0, 1, 2), dels)
+    val handle = Searcher.open(spark, dir)
+    val live = Searcher.search(spark, handle, "*", 200).collect().map(_.docId).toSet
+    val expected = (0L until 120L).toSet -- dels
+    assert(live == expected, s"live=$live")
+    assert(merged == 3)
+  }
+
   test("Every: match-all + top-level pure NOT rank-identical to oracle") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("ev")
