@@ -231,6 +231,12 @@ object SparkEntry {
     "ft_topk_not" -> ((s, dir) => topk(s, dir, "merge NOT join")),
     // stretch: prefix query (lexicon-expanded multiterm OR)
     "ft_topk_prefix" -> ((s, dir) => topk(s, dir, "s*")),
+    // wildcard: prefix-narrowed lexicon scan + anchored regex
+    "ft_topk_wildcard" -> ((s, dir) => topk(s, dir, "s*a*")),
+    // term range (Whoosh TermRange, inclusive): pushed >=/<= lexicon scan
+    "ft_topk_trange" -> ((s, dir) => topk(s, dir, "[qu TO sp]")),
+    // fuzzy (Whoosh FuzzyTerm): banded Levenshtein <= 2, gram-pruned scan
+    "ft_topk_fuzzy" -> ((s, dir) => topk(s, dir, "part~2")),
     // Whoosh AndMaybe: matches the left side, right side only boosts
     "ft_topk_andmaybe" -> ((s, dir) => topk(s, dir, "merge ANDMAYBE join")),
     // Whoosh Require: right side filters, only the left side scores
@@ -511,6 +517,18 @@ object SparkEntry {
 
     "ft_topk_prefix" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM contrib WHERE term LIKE 's%'
+        | GROUP BY docid""".stripMargin.replace("\n", " "))),
+    "ft_topk_wildcard" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib
+        | WHERE regexp_matches(term, '^s.*a.*$') GROUP BY docid"""
+        .stripMargin.replace("\n", " "))),
+    "ft_topk_trange" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib
+        | WHERE term >= 'qu' AND term <= 'sp' GROUP BY docid"""
+        .stripMargin.replace("\n", " "))),
+    "ft_topk_fuzzy" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib
+        | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
 
     "ft_topk_andmaybe" -> (cte + " " + rank(

@@ -41,6 +41,27 @@ object Plans {
     println("==== full search plan (kernel + TakeOrderedAndProject) ====")
     Searcher.search(spark, handle, "w0001 OR w0042", 10).explain("formatted")
 
+    println("==== match-all plan (Every pseudo list from docstats) ====")
+    Searcher.search(spark, handle, "* NOT w0001", 10).explain("formatted")
+
+    println("==== ANN probe plan (expect PushedFilters: In(sig, ...), no object map) ====")
+    import spark.implicits._
+    val annDir = "/tmp/graft-plans-ann"
+    val afs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(annDir), spark.sparkContext.hadoopConfiguration)
+    if (!afs.exists(new org.apache.hadoop.fs.Path(annDir, "ann.json"))) {
+      val vecs = (0 until 2000).map { i =>
+        (i.toLong, Array.tabulate(16)(j =>
+          (graft.corpus.SynthCorpus.hash64(5L, i.toLong, j.toLong) % 1000L).toFloat / 1000f))
+      }
+      graft.ops.Similarity.buildAnnIndex(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", annDir, numFiles = 8)
+    }
+    val qv = Array.tabulate(16)(j =>
+      (graft.corpus.SynthCorpus.hash64(5L, 3L, j.toLong) % 1000L).toFloat / 1000f)
+    graft.ops.Similarity.srpTopKIndexed(spark, annDir, qv, 10, radius = 2)
+      .explain("formatted")
+
     spark.stop()
   }
 }
