@@ -36,7 +36,9 @@ object SparkEntry {
     MultiFieldIndex.FieldSpec("mtime", r => {
       val id = r.path.replaceAll("[^0-9]", "").toLong
       java.time.LocalDate.of(2020, 1, 1).plusDays(id % 365).toString
-    }, ftype = graft.build.DatetimeType))
+    }, ftype = graft.build.DatetimeType),
+    MultiFieldIndex.FieldSpec("big", r => (r.content.length >= 300).toString,
+      ftype = graft.build.BooleanType))
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def indexFor(spark: SparkSession, sfDir: String): String =
@@ -276,6 +278,8 @@ object SparkEntry {
     // prefix phrase ("d", "d/NNN.txt") over path-tokenized positions
     "ft_topk_path" -> ((s, dir) =>
       mfTopk(s, dir, "spark OR dirs:d/0000042.txt^2")),
+    // boolean field type: T/F keyword terms, here as an AND-side filter
+    "ft_topk_bool" -> ((s, dir) => mfTopk(s, dir, "big:true AND spark")),
     // upsert by unique key (put_document): re-putting changed docs
     // tombstones the old versions; live set reflects exactly the new text
     "ft_upsert" -> ((s, dir) => {
@@ -615,6 +619,16 @@ object SparkEntry {
         |       FROM ids GROUP BY 1) c ON c.len = length(i.content)
         | WHERE length(i.content) BETWEEN 200 AND 260"""
         .stripMargin.replace("\n", " "))),
+    // boolean field: one T/F term per doc, score = idf of the doc's value
+    // group (fl = avgfl = 1), summed with the content term's contribution
+    "ft_topk_bool" -> (cte + " " + rank(
+      """SELECT c.docid,
+        |  (ln((SELECT n FROM params)::DOUBLE /
+        |      ((SELECT count(*) FROM ids WHERE length(content) >= 300) + 1.0))
+        |   + 1.0) + c.s AS score
+        | FROM (SELECT docid, s FROM contrib WHERE term = 'spark') c
+        | JOIN ids i ON i.docid = c.docid
+        | WHERE length(i.content) >= 300""".stripMargin.replace("\n", " "))),
     // datetime range: mtime = 2020-01-01 + (doc_id % 365) days; the Feb
     // window is day-of-year 31..58
     "ft_topk_daterange" -> (cte + " " + rank(

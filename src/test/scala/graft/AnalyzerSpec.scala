@@ -112,6 +112,17 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
       QPhrase(List(("search", 0), ("engine", 1)), "path", slop = 4))
     assert(QueryParser.parse("\"search engine\"~0") ==
       QPhrase(List(("search", 0), ("engine", 1)))) // degenerate slop -> default
+    // garbage around the new forms degrades, never crashes
+    assert(QueryParser.parse("\"search engine\"~") ==
+      QPhrase(List(("search", 0), ("engine", 1)))) // dangling tilde drops
+    assert(QueryParser.parse("\"search engine\"~x^y") ==
+      QPhrase(List(("search", 0), ("engine", 1)))) // malformed mods drop
+    assert(QueryParser.parse("size:[10 TO") ==
+      QTerm("10")) // unclosed range: dangling field drops, tokens degrade
+    assert(QueryParser.parse("[ TO ]") == QEmpty)
+    assert(QueryParser.parse("~3") == QEmpty)
+    assert(QueryParser.parse("*:*") == QEmpty
+      || QueryParser.parse("*:*").isInstanceOf[QWildcard]) // no crash
     assert(QueryParser.parse("path:sea*^2") == QPrefix("sea", "path", 2.0))
     assert(QueryParser.parse("title:saerch~2") == QFuzzy("saerch", 2, "title"))
     assert(QueryParser.parse("path:") == QEmpty) // dangling qualifier
