@@ -31,6 +31,20 @@ object Kernel {
 
   final case class Hit(docId: Long, score: Double)
 
+  /** Fold one posting row into a kernel list map, k-way-merging duplicate
+    * rows of the same key: real terms have exactly one row per segment, but
+    * the match-all pseudo list (Q.EveryTerm) arrives as one compressed run
+    * per SCAN PARTITION of the docstats sidecar (Searcher.everyRows). */
+  def mergeList(m: scala.collection.mutable.HashMap[String, TermList],
+                key: String, tl: TermList): Unit =
+    m.get(key) match {
+      case None => m.put(key, tl); ()
+      case Some(prev) =>
+        val e = PostingsCodec.merge(Seq(prev.bytes, tl.bytes))
+        m.put(key, TermList(e.bytes, e.maxTf, math.max(prev.globalDf, tl.globalDf)))
+        ()
+    }
+
   /** bounded heap keeping the k best by (score desc, docId asc) */
   final class TopK(k: Int) {
     // worst element on top: smaller score first; tie -> LARGER docId first

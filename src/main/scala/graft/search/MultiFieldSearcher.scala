@@ -158,12 +158,13 @@ object MultiFieldSearcher {
       .as[(String, String, Int, Int, Array[Byte], Int)]
       .groupByKey(_._6)
       .flatMapGroups { (segId, it) =>
-        val lists = it.map { case (fname, term, df, maxTf, blocks, _) =>
-          Kernel.key(fname, term) ->
-            Kernel.TermList(blocks, maxTf, dfs.getOrElse((fname, term), df.toLong))
-        }.toMap
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { case (fname, term, df, maxTf, blocks, _) =>
+          Kernel.mergeList(lists, Kernel.key(fname, term),
+            Kernel.TermList(blocks, maxTf, dfs.getOrElse((fname, term), df.toLong)))
+        }
         val deleted = Searcher.tombstoneProbe(delRanges, delDir, segId)
-        Kernel.topKMulti(qLocal, lists, statsByField, kLocal, pruneLocal,
+        Kernel.topKMulti(qLocal, lists.toMap, statsByField, kLocal, pruneLocal,
             deleted, wLocal)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }

@@ -161,12 +161,14 @@ object Searcher {
     if (!needEvery) rows0 else rows0.unionByName(everyRows(spark, handle))
   }
 
-  /** The match-all pseudo posting list, one row per live segment under the
-    * reserved term Q.EveryTerm: the segment's live docIds (tf 1, real
-    * lenBytes) encoded through the ordinary codec, built from the docstats
-    * sidecar. A match-all inherently touches every live doc — this is one
-    * narrow two-column scan + per-segment encode, still no corpus-wide
-    * shuffle of anything wider than (docId, lenByte). */
+  /** The match-all pseudo posting list under the reserved term Q.EveryTerm:
+    * the segment's live docIds (tf 1, real lenBytes) encoded through the
+    * ordinary codec from the docstats sidecar. Encoded MAP-SIDE, one
+    * compressed run per (scan partition, segment) — exactly the build's
+    * phase-1 shape — so a match-all never shuffles raw (docId, lenByte)
+    * pairs: only compressed runs ride the kernel's existing segId exchange,
+    * and the kernel k-way-merges duplicate rows of a term (the runs of a
+    * segment split across scan partitions). */
   private[search] def everyRows(spark: SparkSession,
                                 handle: IndexHandle): Dataset[SegRead] = {
     import spark.implicits._
@@ -174,14 +176,26 @@ object Searcher {
       .filter(col("segId").isin(handle.liveSegIds: _*))
       .select(col("docId"), col("lenByte"), col("segId"))
       .as[(Long, Int, Int)]
-      .groupByKey(_._3)
-      .mapGroups { (segId, it) =>
-        val arr = it.map(r => (r._1, r._2)).toArray.sortBy(_._1)
-        val enc = new graft.codec.PostingsCodec.Encoder
+      .mapPartitions { it =>
+        val bufs = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, Int)]]()
+        it.foreach { case (d, lb, segId) =>
+          var b = bufs.get(segId)
+          if (b == null) {
+            b = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+            bufs.put(segId, b)
+          }
+          b += ((d, lb))
+        }
         val p0 = Array(0)
-        arr.foreach { case (d, lb) => enc.add(d, 1, lb, p0) }
-        val e = enc.finish()
-        SegRead(Q.EveryTerm, e.df, e.maxTf, e.bytes, segId)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SegRead]
+        bufs.forEach { (segId, b) =>
+          val arr = b.sortBy(_._1)
+          val enc = new graft.codec.PostingsCodec.Encoder
+          arr.foreach { case (d, lb) => enc.add(d, 1, lb, p0) }
+          val e = enc.finish()
+          out += SegRead(Q.EveryTerm, e.df, e.maxTf, e.bytes, segId)
+        }
+        out.iterator
       }
   }
 
@@ -222,10 +236,12 @@ object Searcher {
     queryRows(spark, handle, terms, q.hasEvery)
       .groupByKey(_.segId)
       .flatMapGroups { (segId, it) =>
-        val lists = it.map { r =>
-          r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
-        }.toMap
-        Kernel.allMatches(qLocal, lists, stats,
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { r =>
+          Kernel.mergeList(lists, r.term,
+            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+        }
+        Kernel.allMatches(qLocal, lists.toMap, stats,
           tombstoneProbe(delRanges, dirLocal, segId))
       }
   }
@@ -266,13 +282,15 @@ object Searcher {
     val perSegment = queryRows(spark, handle, terms, q.hasEvery)
       .groupByKey(_.segId)
       .flatMapGroups { (segId, it) =>
-        val lists = it.map { r =>
-          r.term -> Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong))
-        }.toMap
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { r =>
+          Kernel.mergeList(lists, r.term,
+            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+        }
         // tombstones load INSIDE the kernel, each file bounded by segSize
         // entries — no tombstone set ever rides the driver or the closure
         val deleted = tombstoneProbe(delRanges, dirLocal, segId)
-        Kernel.topK(qLocal, lists, stats, kLocal, pruneLocal, deleted, wLocal)
+        Kernel.topK(qLocal, lists.toMap, stats, kLocal, pruneLocal, deleted, wLocal)
           .iterator.map(h => SearchHit(h.docId, h.score))
       }
 
