@@ -62,7 +62,7 @@ object Deletes {
       val merged = (readRange(efs, dirLocal, rid) ++ it).distinct.sorted
       writeRange(efs, dirLocal, rid, merged)
       rid
-    }.collect() // force; one tiny row per touched range
+    }.count() // force the writes; nothing ships to the driver
     ()
   }
 
