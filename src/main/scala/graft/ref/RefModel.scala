@@ -51,7 +51,10 @@ final class RefModel(docs: Seq[(Long, String)],
   def scoreDoc(q: Q, docId: Long): Option[Double] = q match {
     case QEmpty            => None
     case _: QPureNot       => None
-    case QEvery(boost, _)  => Some(boost) // match-all, constant score
+    case QEvery(boost, f)  => // match-all, constant score
+      if (f.isEmpty) Some(boost) // all docs
+      else if (f != field) None
+      else if (rawLen.getOrElse(docId, 0) > 0) Some(boost) else None
     case mq: QMulti => scoreDoc(QueryRewrite.expandPrefixes(mq, prefixLookup), docId)
     case QTerm(t, f, boost) =>
       if (f != field) None

@@ -145,8 +145,10 @@ object Kernel {
            k: Int, prune: Boolean = true,
            deleted: Long => Boolean = NoDeletes,
            w: Weighting = BM25Weighting): Array[Hit] =
-    topKMulti(q, lists.map { case (t, tl) => key(Q.DefaultField, t) -> tl },
-      _ => stats, k, prune, deleted, w)
+    topKMulti(q, lists.map { case (t, tl) =>
+      // the all-docs pseudo list keys under the EMPTY field (bare `*`)
+      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+    }, _ => stats, k, prune, deleted, w)
 
   /** Segment top-k over field-keyed lists. `prune = false` forces
     * exhaustive evaluation (the WAND-equivalence property-test path).
@@ -184,8 +186,9 @@ object Kernel {
     * Lists are plain-term keyed like topK. */
   def allMatches(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
                  deleted: Long => Boolean = NoDeletes): Iterator[Long] = {
-    val m = buildMatcher(q,
-      lists.map { case (t, tl) => key(Q.DefaultField, t) -> tl }, _ => stats)
+    val m = buildMatcher(q, lists.map { case (t, tl) =>
+      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+    }, _ => stats)
     new Iterator[Long] {
       private var cur = settle(m.docId)
       private def settle(d0: Long): Long = {

@@ -140,18 +140,22 @@ object MultiFieldSearcher {
     val pruneLocal = prune
     val wLocal = weighting
 
-    // one pruned scan per field, unioned with a field tag; the match-all
-    // pseudo list (QEvery) rides under the default field's name
+    // one pruned scan per field, unioned with a field tag; match-all pseudo
+    // lists ride under their Every field ("" = the all-docs `*`; `field:*`
+    // ships only that field's non-empty docs)
     val rows = mh.handles.toSeq.sortBy(_._1).flatMap { case (fname, h) =>
       val terms = ft.collect { case (f, t) if f == fname => t }
       if (terms.isEmpty) None
       else Some(h.segments
         .filter($"term".isin(terms.toSeq: _*))
         .select(lit(fname).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
-    } ++ (if (!q.hasEvery) Nil else Seq(
-      Searcher.everyRows(spark, mh.defaultHandle)
-        .select(lit(mh.defaultField).as("field"), $"term", $"df", $"maxTf",
-          $"blocks", $"segId")))
+    } ++ q.everyFields.toSeq.sorted.flatMap {
+      case "" => Some(Searcher.everyRows(spark, mh.defaultHandle)
+        .select(lit("").as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
+      case f => mh.handles.get(f).map(h =>
+        Searcher.everyRows(spark, h, onlyNonEmpty = true)
+          .select(lit(f).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
+    }
     if (rows.isEmpty) return spark.emptyDataset[SearchHit]
 
     val perSegment = rows.reduce(_ unionByName _)

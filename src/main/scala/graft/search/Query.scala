@@ -36,16 +36,19 @@ sealed trait Q extends Serializable {
     case QRequire(p, f)  => p.hasPrefix || f.hasPrefix
     case _               => false
   }
-  /** does the tree contain a match-all node (needs the segment doc list) */
-  def hasEvery: Boolean = this match {
-    case _: QEvery       => true
-    case QAnd(cs)        => cs.exists(_.hasEvery)
-    case QOr(cs)         => cs.exists(_.hasEvery)
-    case QNot(p, n)      => p.hasEvery || n.hasEvery
-    case QAndMaybe(p, m) => p.hasEvery || m.hasEvery
-    case QRequire(p, f)  => p.hasEvery || f.hasEvery
-    case _               => false
+  /** fields of the tree's match-all nodes ("" = the all-docs Every); each
+    * needs its pseudo doc list shipped to the kernel */
+  def everyFields: Set[String] = this match {
+    case QEvery(_, f)    => Set(f)
+    case QAnd(cs)        => cs.flatMap(_.everyFields).toSet
+    case QOr(cs)         => cs.flatMap(_.everyFields).toSet
+    case QNot(p, n)      => p.everyFields ++ n.everyFields
+    case QAndMaybe(p, m) => p.everyFields ++ m.everyFields
+    case QRequire(p, f)  => p.everyFields ++ f.everyFields
+    case _               => Set.empty
   }
+  /** does the tree contain a match-all node (needs the segment doc list) */
+  def hasEvery: Boolean = everyFields.nonEmpty
 }
 object Q {
   /** the schema's default field — what unqualified query terms hit */
@@ -159,14 +162,15 @@ final case class QRange(lo: String, hi: String,
   }
 }
 object QMulti { final val MaxExpand = 128 }
-/** Match-all (Whoosh `Every`, parsed from a bare `*`): every live document
-  * of the index matches with CONSTANT score = boost (Whoosh scores Every
-  * hits 1.0). Makes top-level/AND-side pure negation answerable
-  * ("NOT x" == Every NOT x) and composes delete-by-query. The kernel
-  * resolves it against a per-segment pseudo posting list built from the
-  * docstats sidecar (the segment's live doc ids), keyed Q.EveryTerm. */
-final case class QEvery(boost: Double = 1.0,
-                        field: String = Q.DefaultField) extends Q
+/** Match-all (Whoosh `Every`): every live document matches with CONSTANT
+  * score = boost (Whoosh scores Every hits 1.0). `field == ""` (a bare `*`)
+  * matches ALL documents; `field:*` (Whoosh Every(fieldname)) matches the
+  * documents where that field has at least one indexed token. Makes
+  * top-level/AND-side pure negation answerable ("NOT x" == Every NOT x)
+  * and composes delete-by-query. The kernel resolves it against a
+  * per-segment pseudo posting list built from the docstats sidecar, keyed
+  * (field, Q.EveryTerm). */
+final case class QEvery(boost: Double = 1.0, field: String = "") extends Q
 case object QEmpty extends Q
 /** parser-internal: a group with ONLY negative clauses ("(NOT a)",
   * "NOT a AND NOT b"). Folds into the enclosing AND group's negative list;
@@ -363,10 +367,11 @@ object QueryParser {
       case Word(w0) =>
         // strip trailing boost, then a leading field qualifier
         val (w1, boost) = splitBoost(w0)
-        val (field, w) = w1 match {
-          case FieldPrefix(f, rest) => (f, rest)
-          case _                    => (defaultField, w1)
+        val (fieldOpt, w) = w1 match {
+          case FieldPrefix(f, rest) => (Some(f), rest)
+          case _                    => (None, w1)
         }
+        val field = fieldOpt.getOrElse(defaultField)
         if (w.isEmpty) {
           // `field:"a phrase"` / `field:[lo TO hi]` — the quote/bracket
           // ended the word token; the phrase or range follows
@@ -380,7 +385,7 @@ object QueryParser {
               QRange(lo, hi, field, boost)
             case _ => QEmpty // dangling `field:`
           }
-        } else wordNode(w, field, boost)
+        } else wordNode(w, field, boost, fieldOpt.isDefined)
       case Phrase(p) =>
         val (slop, b) = trailingMods()
         phraseNode(p, defaultField, b, slop)
@@ -419,9 +424,11 @@ object QueryParser {
 
     // multiterm syntax (reference semantics: multiterm query text is
     // lowercased but NOT run through the full analyzer)
-    def wordNode(w: String, field: String, boost: Double): Q = {
+    def wordNode(w: String, field: String, boost: Double,
+                 explicitField: Boolean = false): Q = {
       def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
-      if (w == "*") QEvery(boost, field) // match-all (Whoosh Every)
+      // bare `*` = all docs; `field:*` = docs where the field has a value
+      if (w == "*") QEvery(boost, if (explicitField) field else "")
       else if (w.length > 1 && w.endsWith("*") && !w.init.exists(c => c == '*' || c == '?'))
         QPrefix(lower(w.init), field, boost)
       else if (w.exists(c => c == '*' || c == '?'))
@@ -472,7 +479,7 @@ object QueryParser {
     else orExpr() match {
       // top-level pure negative: subtract from the match-all ("NOT x" ==
       // Every NOT x, constant Every scores — answerable since QEvery landed)
-      case QPureNot(n) => QNot(QEvery(field = defaultField), n)
+      case QPureNot(n) => QNot(QEvery(), n)
       case q           => q
     }
   }

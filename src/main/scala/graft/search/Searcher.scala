@@ -169,11 +169,14 @@ object Searcher {
     * pairs: only compressed runs ride the kernel's existing segId exchange,
     * and the kernel k-way-merges duplicate rows of a term (the runs of a
     * segment split across scan partitions). */
-  private[search] def everyRows(spark: SparkSession,
-                                handle: IndexHandle): Dataset[SegRead] = {
+  private[search] def everyRows(spark: SparkSession, handle: IndexHandle,
+                                onlyNonEmpty: Boolean = false): Dataset[SegRead] = {
     import spark.implicits._
-    spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val base = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
       .filter(col("segId").isin(handle.liveSegIds: _*))
+    // field-scoped Every (`field:*`): only docs where the field produced
+    // at least one token (pushed rawLen > 0)
+    (if (onlyNonEmpty) base.filter(col("rawLen") > 0) else base)
       .select(col("docId"), col("lenByte"), col("segId"))
       .as[(Long, Int, Int)]
       .mapPartitions { it =>

@@ -86,6 +86,8 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
     assert(QueryParser.parse("*") == QEvery())
     assert(QueryParser.parse("*^2") == QEvery(2.0))
     assert(QueryParser.parse("* NOT search") == QNot(QEvery(), QTerm("search")))
+    assert(QueryParser.parse("path:*") == QEvery(1.0, "path")) // field-scoped
+    assert(QueryParser.parse("path:*^2") == QEvery(2.0, "path"))
     assert(QueryParser.parse("alpha OR NOT search") == QTerm("alpha"))
     assert(QueryParser.parse("NOT search engine") == QNot(QTerm("engine"), QTerm("search")))
     // parenthesized pure-negative folds into the enclosing AND group

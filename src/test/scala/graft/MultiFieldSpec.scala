@@ -264,6 +264,35 @@ class MultiFieldSpec extends AnyFunSuite {
       "flag:true AND size:[abc TO xyz]", 10).collect().isEmpty)
   }
 
+  test("field-scoped Every: field:* matches exactly the docs with a value") {
+    import spark.implicits._
+    def idOf(r: CorpusRow): Long = java.lang.Long.parseLong(r.commit.takeRight(8), 16)
+    val root = SparkTestBase.tmpDir("fev")
+    val fields = Seq(
+      FieldSpec("content", _.content),
+      FieldSpec("tag", r => if (idOf(r) % 4 == 0) "marked special" else ""))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+    val st = stamped(rows)
+    val tagged = st.collect { case (d, r) if idOf(r) % 4 == 0 => d }.toSet
+
+    val all = MultiFieldSearcher.search(spark, mh, "*", st.size + 5).collect()
+    assert(all.length == st.size && all.forall(_.score == 1.0))
+
+    val fe = MultiFieldSearcher.search(spark, mh, "tag:*", st.size + 5).collect()
+    assert(fe.map(_.docId).toSet == tagged, s"got ${fe.map(_.docId).toSet}")
+    assert(fe.forall(_.score == 1.0))
+
+    // composes: filter by field presence, score by the content term
+    val combo = MultiFieldSearcher.search(spark, mh,
+      "w0000 REQUIRE tag:*", st.size + 5).collect()
+    assert(combo.nonEmpty && combo.map(_.docId).toSet.subsetOf(tagged))
+
+    // unknown field's Every matches nothing
+    assert(MultiFieldSearcher.search(spark, mh, "nope:*", 10).collect().isEmpty)
+  }
+
   test("schema-from-config: config-built index == code-built (digests + query)") {
     import spark.implicits._
     val cfgJson =
