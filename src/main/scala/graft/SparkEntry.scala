@@ -393,7 +393,7 @@ object SparkEntry {
   private def queryVec(s: SparkSession, sfDir: String): Array[Float] =
     qvCache.computeIfAbsent(sfDir, { _ =>
       embTable(s, sfDir).filter(col("vec_id") === 0)
-        .select("embedding").head.getSeq[Float](0).toArray
+        .select("embedding").head().getSeq[Float](0).toArray
     })
 
   // ---------------------------------------------------------------- oracle

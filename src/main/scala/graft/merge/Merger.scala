@@ -146,7 +146,7 @@ object Merger {
           java.util.Arrays.binarySearch(delB.value, r.getLong(docIdIdx)) < 0)
       }
     val (mergedDocCount, mergedRawLen) = {
-      val r = filtered.agg(count(lit(1)), sum($"rawLen")).head
+      val r = filtered.agg(count(lit(1)), sum($"rawLen")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     filtered.withColumn("segId", lit(targetId))

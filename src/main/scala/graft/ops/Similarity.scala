@@ -276,7 +276,7 @@ object Similarity {
     val seed = l("seed")
     val probe = sigsWithin(srpSig(query, bits, seed), bits, radius)
     spark.read.parquet(s"$dir/vectors")
-      .filter(col("sig").isin(probe.map(Int.box): _*))
+      .filter(col("sig").isin(probe.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), cosineCol(col("vec"), query).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
@@ -325,7 +325,7 @@ object Similarity {
     val probe = centroids.indices
       .sortBy(c => dist2(centroids(c), query)).take(nProbe)
     spark.read.parquet(s"$dir/vectors")
-      .filter(col("list").isin(probe.map(Int.box): _*))
+      .filter(col("list").isin(probe.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), cosineCol(col("vec"), query).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
