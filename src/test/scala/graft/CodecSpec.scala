@@ -86,4 +86,50 @@ class CodecSpec extends AnyFunSuite with PropSupport {
       assert(merged.df == direct.df && merged.maxTf == direct.maxTf)
     }
   }
+
+  test("sortable numeric encoding round-trips and preserves signed order") {
+    import graft.build.FieldTypes
+    val genLong = org.scalacheck.Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    forSamples(genLong, genLong) { (a, b) =>
+      assert(FieldTypes.decodeLong(FieldTypes.encodeLong(a)) == a)
+      assert((FieldTypes.encodeLong(a) < FieldTypes.encodeLong(b)) == (a < b))
+      assert(FieldTypes.encodeLong(a).length == 16)
+    }
+    // datetime encoding follows time order (date vs datetime forms)
+    assert(FieldTypes.encodeValue(graft.build.DatetimeType, "2020-01-01").get <
+      FieldTypes.encodeValue(graft.build.DatetimeType, "2020-01-01t00:00:01").get)
+    assert(FieldTypes.encodeValue(graft.build.DatetimeType, "1969-12-31").get <
+      FieldTypes.encodeValue(graft.build.DatetimeType, "1970-01-02").get)
+    assert(FieldTypes.encodeValue(graft.build.NumericType, "nope").isEmpty)
+    assert(FieldTypes.encodeValue(graft.build.DatetimeType, "2020-13-40").isEmpty)
+  }
+
+  test("sigsWithin enumerates exactly the hamming ball, each sig once") {
+    def choose(n: Int, k: Int): Long =
+      (0 until k).map(i => (n - i).toLong).product / (1L to math.max(1, k)).product
+    forSamples(org.scalacheck.Gen.chooseNum(0, 65535),
+               org.scalacheck.Gen.chooseNum(0, 5)) { (sig, r) =>
+      val ball = graft.ops.Similarity.sigsWithin(sig, 16, r)
+      assert(ball.distinct.length == ball.length)
+      assert(ball.forall(s => Integer.bitCount(s ^ sig) <= r && s >= 0 && s < 65536))
+      assert(ball.length.toLong == (0 to r).map(choose(16, _)).sum)
+    }
+  }
+
+  test("intra-word split: parts partition the alphanumeric characters in order") {
+    val genWord = org.scalacheck.Gen.chooseNum(0, 20).flatMap(n =>
+      org.scalacheck.Gen.listOfN(n, org.scalacheck.Gen.frequency(
+        5 -> org.scalacheck.Gen.alphaLowerChar,
+        3 -> org.scalacheck.Gen.alphaUpperChar,
+        2 -> org.scalacheck.Gen.numChar,
+        1 -> org.scalacheck.Gen.oneOf('-', '_', '.'))).map(_.mkString))
+    val chain = new graft.analysis.Chain(
+      graft.analysis.AnalyzerSpec(graft.analysis.WhitespaceTok,
+        List(graft.analysis.IntraWordF)))
+    forSamples(genWord, 300) { w =>
+      val parts = chain.tokenize(w).map(_.term)
+      assert(parts.mkString == w.filter(_.isLetterOrDigit), s"'$w' -> $parts")
+      assert(parts.forall(_.nonEmpty))
+    }
+  }
 }
