@@ -239,6 +239,14 @@ object SparkEntry {
     "ft_topk_trange" -> ((s, dir) => topk(s, dir, "[qu TO sp]")),
     // fuzzy (Whoosh FuzzyTerm): banded Levenshtein <= 2, gram-pruned scan
     "ft_topk_fuzzy" -> ((s, dir) => topk(s, dir, "part~2")),
+    // spelling suggestions (Whoosh suggest): (distance asc, df desc, term)
+    "ft_suggest" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.suggest(s, handle, "spask", k = 5)
+        .toDF("term", "dist", "df")
+        .select($"term", $"dist".cast("long").as("dist"), $"df")
+    }),
     // Whoosh AndMaybe: matches the left side, right side only boosts
     "ft_topk_andmaybe" -> ((s, dir) => topk(s, dir, "merge ANDMAYBE join")),
     // Whoosh Require: right side filters, only the left side scores
@@ -534,6 +542,11 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
+    "ft_suggest" -> (cte +
+      """ SELECT term, levenshtein(term, 'spask')::BIGINT AS dist, df FROM dft
+        | WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'spask') <= 2
+        | ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
+        .stripMargin.replace("\n", " ")),
 
     "ft_topk_andmaybe" -> (cte + " " + rank(
       """SELECT m.docid, m.s + coalesce(j.s, 0.0) AS score

@@ -129,6 +129,35 @@ object Searcher {
     }
   }
 
+  /** Spelling suggestions (Whoosh `Searcher.suggest`): lexicon terms within
+    * `maxDist` edits of `word`, ranked (distance asc, df desc, term asc) —
+    * common corpus terms first among equally-close candidates. Reuses the
+    * fuzzy scan machinery: gram-pruned when the 3-gram sidecar guarantees
+    * coverage, full lexicon pass otherwise; the lexicon is term-count-sized,
+    * never corpus-sized. */
+  def suggest(spark: SparkSession, handle: IndexHandle, word: String,
+              k: Int = 5, maxDist: Int = 2): Seq[(String, Int, Long)] = {
+    import spark.implicits._
+    val w = word.toLowerCase(java.util.Locale.ROOT)
+    val base =
+      if (w.length >= 3 * maxDist + 3)
+        handle.lexgrams.map { lg =>
+          handle.lexicon.join(
+            lg.filter($"gram".isin(IndexBuilder.grams3(w).toIndexedSeq: _*))
+              .select($"term").distinct(), Seq("term"))
+        }.getOrElse(handle.lexicon)
+      else handle.lexicon
+    base
+      .filter(abs(length($"term") - lit(w.length)) <= maxDist)
+      .filter(levenshtein($"term", lit(w)) <= maxDist)
+      .select($"term", levenshtein($"term", lit(w)).as("dist"),
+        $"df".cast("long").as("df"))
+      .orderBy($"dist".asc, $"df".desc, $"term".asc)
+      .limit(k)
+      .as[(String, Int, Long)]
+      .collect().toSeq
+  }
+
   /** global df for the query's terms: one pruned lexicon scan for the
     * not-yet-cached terms (a term absent from the lexicon has df 0 and is
     * cached as such so it's never re-fetched) */
