@@ -21,7 +21,7 @@ import graft.streaming.StreamingIngest
 object SparkEntry {
 
   /** bump when the on-disk index format changes (invalidates /tmp caches) */
-  private val FormatVersion = "v4"
+  private val FormatVersion = "v5"
 
   /** the driver-contract multi-field schema: text content + path, plus a
     * numeric size (char length) and a datetime mtime (a deterministic date
@@ -297,6 +297,59 @@ object SparkEntry {
         .filter(!col("docId").isin(dels.toSeq: _*))
         .select(col("repo"), col("path"), col("sha"))
     }),
+    // Bo1 key terms ([W] whoosh/classify.py) of a doc set, computed
+    // relationally over the lexicon's collection frequencies (decision D11)
+    "ft_key_terms" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val corpus = CorpusSource.fromDocumentsTable(s, dir)
+      graft.search.KeyTerms.forDocs(s, handle, corpus, (0L until 10L), 1 << 20)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"term".asc)
+        .limit(10)
+        .select($"term", round($"score", 4).as("score"))
+    }),
+    // more-like-this ([W] whoosh/searching.py more_like): OR of the source
+    // doc's top-5 Bo1 key terms, each boosted by its score; source masked
+    "ft_mlt" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val corpus = CorpusSource.fromDocumentsTable(s, dir)
+      val q = graft.search.KeyTerms.moreLikeThisQuery(s, handle, corpus, 42L, 5)
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .filter($"docId" =!= 42L)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // facet counts ([W] whoosh/sorting.py groupedby): every match of the
+    // query counted per stored-field value
+    "ft_facet_lang" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.facetCounts(s, handle, "merge", "lang")
+        .select(col("lang"), col("count").cast("long").as("cnt"))
+    }),
+    // sorted search ([W] whoosh/sorting.py sortedby): matches ordered by a
+    // stored field instead of score
+    "ft_sortedby" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.searchSortedBy(s, handle, "merge", "path", asc = false, k = 10)
+        .select(col("docId").as("docid"), col("path"))
+    }),
+    // highlighting ([W] whoosh/highlight.py, decision D12): token-window
+    // fragments with merged islands, matches wrapped in <b>
+    "ft_highlight" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val corpus = CorpusSource.fromDocumentsTable(s, dir)
+      graft.search.Highlight.highlights(s, handle, corpus, "merge OR join",
+          (0L until 20L), surround = 3, maxFrags = 2)
+        .select($"docId".as("docid"), $"frag".cast("long").as("frag"),
+          $"start_pos".cast("long"), $"end_pos".cast("long"),
+          $"matches".cast("long").as("matches"), $"fragment")
+    }),
     // S3/S5: segment manifests — doc counts, posting-list row counts and
     // field-length sums cross-checked against the corpus-derived oracle
     // (digest/bytes are covered by the determinism and resume specs)
@@ -481,6 +534,14 @@ object SparkEntry {
        | JOIN flens fl ON fl.docid = m.docid)""".stripMargin.replace("\n", " ")
   }
 
+  /** collection frequency CTE + the pinned Bo1 arithmetic (decision D11) —
+    * parenthesized exactly as KeyTerms computes it, so scores bit-compare
+    * under the r4/r6 protocol */
+  private val CftCte = ", cft AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)"
+  private def bo1Sql(w: String): String =
+    s"$w * (ln((1.0 + c.cf::DOUBLE / p.n) / (c.cf::DOUBLE / p.n)) / ln(2.0))" +
+      s" + (ln(1.0 + c.cf::DOUBLE / p.n) / ln(2.0))"
+
   private def rank(inner: String): String =
     s"SELECT docid, round(rawscore, 4) AS score " +
       s"FROM (SELECT docid, score AS rawscore, round(score, 6) AS r6 FROM ($inner) q) qq " +
@@ -659,6 +720,64 @@ object SparkEntry {
         |SELECT printf('r%02d', doc_id % 97) AS repo,
         |  printf('d/%07d.txt', doc_id) AS path, sha256(t) AS sha FROM up"""
         .stripMargin.replace("\n", " "),
+    // Bo1 key terms of docs 0..9 (decision D11): f = cf/N,
+    // score = wt*log2((1+f)/f) + log2(1+f), log2(x) = ln(x)/ln(2)
+    "ft_key_terms" -> (cte + CftCte +
+      """, wt AS (SELECT term, sum(tf)::DOUBLE AS w FROM tf WHERE docid < 10 GROUP BY term),
+        |kt AS (SELECT w.term, """.stripMargin + bo1Sql("w.w") +
+      """ AS score FROM wt w JOIN cft c USING (term) CROSS JOIN params p)
+        |SELECT term, round(rawscore, 4) AS score
+        |FROM (SELECT term, score AS rawscore, round(score, 6) AS r6 FROM kt) k
+        |ORDER BY r6 DESC, term ASC LIMIT 10""".stripMargin.replace("\n", " ")),
+    // more-like-this from doc 42: top-5 Bo1 terms as boosts, boosted BM25
+    // OR over the rest of the corpus (boost*idf grouping matches the kernel)
+    "ft_mlt" -> (cte + CftCte +
+      """, wt42 AS (SELECT term, sum(tf)::DOUBLE AS w FROM tf WHERE docid = 42 GROUP BY term),
+        |kt AS (SELECT w.term, """.stripMargin + bo1Sql("w.w") +
+      """ AS boost FROM wt42 w JOIN cft c USING (term) CROSS JOIN params p
+        | ORDER BY boost DESC, term ASC LIMIT 5),
+        |scored AS (SELECT f.docid,
+        |  sum((k.boost * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0)) * (f.tf * 2.2)
+        |      / (f.tf + 1.2 * (0.25 + 0.75 * fl.fl / p.avgfl))) AS score
+        |  FROM tf f JOIN kt k USING (term) JOIN dft d USING (term)
+        |  JOIN flens fl ON fl.docid = f.docid CROSS JOIN params p
+        |  WHERE f.docid != 42 GROUP BY f.docid)
+        |""".stripMargin.replace("\n", " ") +
+      rank("SELECT docid, score FROM scored")),
+    // facet counts: every 'merge' match grouped by the stored lang field
+    "ft_facet_lang" -> (cte +
+      """ SELECT lang, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | GROUP BY lang""".stripMargin.replace("\n", " ")),
+    // sorted search: 'merge' matches ordered by path desc
+    "ft_sortedby" -> (cte +
+      """ SELECT docid, path FROM ids WHERE docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | ORDER BY path DESC, docid ASC LIMIT 10""".stripMargin.replace("\n", " ")),
+    // highlighting (D12): raw-token islands merged at gap > 2*surround,
+    // top-2 fragments by (matches desc, start asc), <b>-wrapped render
+    "ft_highlight" -> (cte +
+      """, rawd AS (SELECT docid, regexp_extract_all(content, '\w+(\.?\w+)*') AS toks
+        |  FROM ids WHERE docid < 20),
+        |mpos AS (SELECT docid, unnest(range(len(toks))) AS p, unnest(toks) AS tok FROM rawd),
+        |mm AS (SELECT docid, p FROM mpos WHERE lower(tok) IN ('merge','join')),
+        |brk AS (SELECT docid, p,
+        |  CASE WHEN p - lag(p) OVER (PARTITION BY docid ORDER BY p) > 6 THEN 1 ELSE 0 END AS b
+        |  FROM mm),
+        |isl AS (SELECT docid, p, sum(b) OVER (PARTITION BY docid ORDER BY p) AS g FROM brk),
+        |grp AS (SELECT docid, g, min(p) AS lo, max(p) AS hi, count(*)::BIGINT AS matches
+        |  FROM isl GROUP BY docid, g),
+        |fr AS (SELECT g.docid, greatest(g.lo - 3, 0) AS s,
+        |    least(g.hi + 3, len(r.toks) - 1) AS e, g.matches, r.toks
+        |  FROM grp g JOIN rawd r ON r.docid = g.docid),
+        |rk AS (SELECT docid, s, e, matches, toks,
+        |    row_number() OVER (PARTITION BY docid ORDER BY matches DESC, s ASC) - 1 AS frag
+        |  FROM fr)
+        |SELECT docid, frag, s AS start_pos, e AS end_pos, matches,
+        |  array_to_string([CASE WHEN lower(toks[i+1]) IN ('merge','join')
+        |    THEN '<b>' || toks[i+1] || '</b>' ELSE toks[i+1] END
+        |    FOR i IN range(s, e + 1)], ' ') AS fragment
+        |FROM rk WHERE frag < 2""".stripMargin.replace("\n", " ")),
     // S3/S5: manifest metrics vs the corpus-derived layout (segSize = 128)
     "ft_segments" -> (cte +
       """, segd AS (SELECT docid // 128 AS segid, count(*)::BIGINT AS doc_count,

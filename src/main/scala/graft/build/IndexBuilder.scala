@@ -261,7 +261,7 @@ object IndexBuilder {
             while (it.hasNext) {
               val e = it.next()
               val enc = e.getValue.finish()
-              pending.add(Run(curSeg, e.getKey, pid, enc.df, enc.maxTf, enc.bytes))
+              pending.add(Run(curSeg, e.getKey, pid, enc.df, enc.maxTf, enc.cf, enc.bytes))
             }
             builders = new java.util.HashMap[String, PostingsCodec.Encoder]()
           }
@@ -316,10 +316,11 @@ object IndexBuilder {
                 else { lookahead = r; continue = false }
               }
               if (group.tail.isEmpty)
-                SegRow(first.segId, first.term, first.df, first.maxTf, first.blocks)
+                SegRow(first.segId, first.term, first.df, first.maxTf, first.cf,
+                  first.blocks)
               else {
                 val enc = PostingsCodec.merge(group.reverse.map(_.blocks))
-                SegRow(first.segId, first.term, enc.df, enc.maxTf, enc.bytes)
+                SegRow(first.segId, first.term, enc.df, enc.maxTf, enc.cf, enc.bytes)
               }
             }
           }
@@ -406,7 +407,8 @@ object IndexBuilder {
     val seg = spark.read.parquet(segmentsDir(indexDir))
       .filter(col("segId").isin(liveLex: _*))
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
-    seg.groupBy($"term").agg(sum($"df").cast("long").as("df"))
+    seg.groupBy($"term").agg(sum($"df").cast("long").as("df"),
+        sum($"cf").cast("long").as("cf"))
       .repartitionByRange(lexPartitions, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))

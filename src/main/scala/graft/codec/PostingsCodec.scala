@@ -42,8 +42,11 @@ object PostingsCodec {
       (docId.## * 31 + tf) * 31 + java.util.Arrays.hashCode(positions)
   }
 
-  /** Result of encoding a full list. */
-  final case class Encoded(df: Int, maxTf: Int, bytes: Array[Byte])
+  /** Result of encoding a full list. `cf` = collection frequency (sum of
+    * tf over the list's postings) — carried through build/merge so the
+    * lexicon can expose corpus-wide term weight (the Bo1 key-term input,
+    * [W] whoosh/reading.py `frequency`) without ever re-decoding blocks. */
+  final case class Encoded(df: Int, maxTf: Int, cf: Long, bytes: Array[Byte])
 
   /** Incremental block encoder: postings are appended docId-ascending
     * (one at a time — the streaming primitive behind map-side partial runs),
@@ -60,6 +63,7 @@ object PostingsCodec {
     private var lastSeen = -1L
     private var df = 0
     private var listMaxTf = 0
+    private var listCf = 0L
 
     def add(docId: Long, tf: Int, lenByte: Int, positions: Array[Int]): Unit = {
       val start = addHeaderFields(docId, tf, lenByte)
@@ -83,7 +87,7 @@ object PostingsCodec {
       require(docId > lastSeen, s"postings must be docId-ascending: $docId after $lastSeen")
       lastSeen = docId
       docs(n) = docId; tfs(n) = tf; lens(n) = lenByte
-      n += 1; df += 1
+      n += 1; df += 1; listCf += tf
       true
     }
     @inline private def flushIfFull(): Unit = if (n == BlockSize) flushBlock()
@@ -117,7 +121,7 @@ object PostingsCodec {
     }
 
     def isEmpty: Boolean = df == 0
-    def finish(): Encoded = { flushBlock(); Encoded(df, listMaxTf, out.toBytes) }
+    def finish(): Encoded = { flushBlock(); Encoded(df, listMaxTf, listCf, out.toBytes) }
   }
 
   /** Encode a docId-ascending stream of postings. */

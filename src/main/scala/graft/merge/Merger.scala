@@ -100,7 +100,8 @@ object Merger {
       val it = ordered.iterator.flatMap(r => PostingsCodec.decodeIterator(r.blocks))
         .filterNot(p => java.util.Arrays.binarySearch(dels, p.docId) >= 0)
       val enc = PostingsCodec.encode(it)
-      if (enc.df == 0) None else Some(SegRow(targetId, term, enc.df, enc.maxTf, enc.bytes))
+      if (enc.df == 0) None
+      else Some(SegRow(targetId, term, enc.df, enc.maxTf, enc.cf, enc.bytes))
     }
 
     val merged =

@@ -30,18 +30,20 @@ final case class DocStat(segId: Int, docId: Long, repo: String, path: String,
   * aggregation is the source-partition id (G2: a term hot across a whole
   * segment still arrives as bounded-size runs from each input split) */
 final case class Run(segId: Int, term: String, salt: Int, df: Int, maxTf: Int,
-                     blocks: Array[Byte])
+                     cf: Long, blocks: Array[Byte])
 
-/** final per-(segment, term) posting-list row, written term-sorted */
+/** final per-(segment, term) posting-list row, written term-sorted; `cf` =
+  * the list's collection frequency (sum of tf), aggregated into the lexicon */
 final case class SegRow(segId: Int, term: String, df: Int, maxTf: Int,
-                        blocks: Array[Byte])
+                        cf: Long, blocks: Array[Byte])
 
 /** read-back shape (segId comes last as the partition column) */
 final case class SegRead(term: String, df: Int, maxTf: Int,
                          blocks: Array[Byte], segId: Int)
 
-/** global lexicon row: term -> corpus-wide document frequency */
-final case class LexRow(term: String, df: Long)
+/** global lexicon row: term -> corpus-wide document frequency + collection
+  * frequency (total term weight, the Bo1 expansion-model input) */
+final case class LexRow(term: String, df: Long, cf: Long)
 
 /** per-segment manifest (SURVEY.md S5): lineage + row-count/digest metrics,
   * the checkpoint unit for resumable builds.

@@ -1,0 +1,116 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.build.IndexBuilder
+import graft.model.CorpusRow
+
+/** Hit highlighting ([W] whoosh/highlight.py: analyzer-driven fragmenter +
+  * scorer + HTML formatter; reconstruction per SURVEY.md §0 — reference
+  * tree empty, semantics pinned by the in-repo oracle).
+  *
+  * Decision D12 (pinned):
+  *  - the display stream is the RAW tokenizer output of the content —
+  *    original case, stop words kept (`\w+(\.?\w+)*` non-overlapping
+  *    matches in order, the pinned A1 pattern);
+  *  - a position p matches iff lowercase(token(p)) is one of the query's
+  *    analyzed terms (query terms are post-filter, so stop words can never
+  *    match);
+  *  - fragments are token windows: each match spans [p-surround, p+surround];
+  *    overlapping/adjacent spans merge (two matches share a fragment iff
+  *    their positions differ by <= 2*surround), then clip to the token
+  *    stream (the ContextFragmenter analog, token- not char-budgeted);
+  *  - fragment score = number of matching positions in it (the
+  *    BasicFragmentScorer analog); the top `maxFrags` fragments are kept,
+  *    ranked (score desc, start asc), `frag` = that rank ordinal;
+  *  - rendering joins the window's tokens with single spaces, wrapping
+  *    EVERY matching token in `<b>...</b>` (the HtmlFormatter analog;
+  *    original inter-token whitespace/punctuation is not reproduced — the
+  *    token-stream render is what makes the semantics exactly
+  *    SQL-checkable).
+  *
+  * Scale shape: one pruned docstats key lookup for the requested hit ids,
+  * a broadcast semi-join against the corpus (content read only for those
+  * keys), then a narrow per-row kernel — no shuffle beyond the join.
+  */
+object Highlight {
+
+  final case class Fragment(startPos: Int, endPos: Int, matches: Int, text: String)
+
+  /** raw display tokens: original-case matches of the pinned A1 pattern */
+  private[search] def rawTokens(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = Analyzer.TokenPattern.matcher(text)
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  @inline private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** the pure fragment kernel (D12) — property-tested against a brute-force
+    * window model in HighlightSpec */
+  def fragments(content: String, terms: Set[String], surround: Int = 3,
+                maxFrags: Int = 2): Seq[Fragment] = {
+    require(surround >= 0 && maxFrags >= 1)
+    val toks = rawTokens(content)
+    val ms = new scala.collection.mutable.ArrayBuffer[Int]
+    var i = 0
+    while (i < toks.length) {
+      if (terms.contains(lc(toks(i)))) ms += i
+      i += 1
+    }
+    if (ms.isEmpty) return Seq.empty
+
+    // greedy island merge over sorted match positions: a new fragment
+    // starts when the gap to the previous match exceeds 2*surround
+    final case class Isl(lo: Int, hi: Int, n: Int)
+    val islands = scala.collection.mutable.ArrayBuffer.empty[Isl]
+    var lo = ms.head; var hi = ms.head; var n = 1
+    ms.iterator.drop(1).foreach { p =>
+      if (p - hi <= 2 * surround) { hi = p; n += 1 }
+      else { islands += Isl(lo, hi, n); lo = p; hi = p; n = 1 }
+    }
+    islands += Isl(lo, hi, n)
+
+    islands
+      .map { isl =>
+        val s = math.max(0, isl.lo - surround)
+        val e = math.min(toks.length - 1, isl.hi + surround)
+        val text = (s to e).iterator.map { p =>
+          if (terms.contains(lc(toks(p)))) s"<b>${toks(p)}</b>" else toks(p)
+        }.mkString(" ")
+        Fragment(s, e, isl.n, text)
+      }
+      .sortBy(f => (-f.matches, f.startPos))
+      .take(maxFrags)
+      .toSeq
+  }
+
+  /** fragments for a set of hit docIds: (docId, frag, start_pos, end_pos,
+    * matches, fragment). `query` is analyzed with the handle's chain; all
+    * its positive terms highlight (multiterm nodes expand first via the
+    * searcher when present in `terms`). Docs with no match emit no rows. */
+  def highlights(spark: SparkSession, handle: Searcher.IndexHandle,
+                 corpus: Dataset[CorpusRow], query: String, docIds: Seq[Long],
+                 surround: Int = 3, maxFrags: Int = 2): DataFrame = {
+    import spark.implicits._
+    val q = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val terms = q.terms
+    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .filter(col("docId").isin(docIds: _*))
+      .select("docId", "repo", "path", "commit")
+    val sLocal = surround
+    val mLocal = maxFrags
+    corpus.toDF()
+      .join(broadcast(keys), Seq("repo", "path", "commit"))
+      .select($"docId".as[Long], $"content".as[String])
+      .flatMap { case (id, content) =>
+        fragments(content, terms, sLocal, mLocal).iterator.zipWithIndex.map {
+          case (f, rank) => (id, rank, f.startPos, f.endPos, f.matches, f.text)
+        }
+      }
+      .toDF("docId", "frag", "start_pos", "end_pos", "matches", "fragment")
+  }
+}

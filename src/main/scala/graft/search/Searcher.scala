@@ -342,6 +342,40 @@ object Searcher {
       .slice((pageNum - 1) * pageLen, pageNum * pageLen)
   }
 
+  /** Facet counts ([W] whoosh/sorting.py `groupedby` — out of the pinned
+    * cockatrice scope per SURVEY.md §2.8, added as reference-surface
+    * stretch): EVERY doc matching the query, counted per value of a stored
+    * docstats field. Scale shape: the same pruned kernel pass as
+    * delete-by-query (no top-k heap), one docId equi-join against the
+    * docstats sidecar, one aggregation on the facet key — the content
+    * corpus is never touched. */
+  def facetCounts(spark: SparkSession, handle: IndexHandle, query: String,
+                  field: String): DataFrame = {
+    val ids = matchingIds(spark, handle, query).toDF("docId")
+    spark.read.parquet(docstatsDirOf(handle))
+      .join(ids, Seq("docId"))
+      .groupBy(col(field))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** Sorted search ([W] whoosh/sorting.py `sortedby`): the query's matches
+    * ordered by a stored field instead of score. Catalyst plans the final
+    * step as TakeOrderedAndProject over the joined match set — only k rows
+    * reach the driver. */
+  def searchSortedBy(spark: SparkSession, handle: IndexHandle, query: String,
+                     field: String, asc: Boolean = true, k: Int = 10): DataFrame = {
+    val ids = matchingIds(spark, handle, query).toDF("docId")
+    val key = if (asc) col(field).asc else col(field).desc
+    spark.read.parquet(docstatsDirOf(handle))
+      .join(ids, Seq("docId"))
+      .select(col("docId"), col(field))
+      .orderBy(key, col("docId").asc)
+      .limit(k)
+  }
+
+  private def docstatsDirOf(handle: IndexHandle): String =
+    IndexBuilder.docstatsDir(handle.indexDir)
+
   /** S4 as an API: the reference's `get_document(id)` point lookup —
     * stored fields for explicit docIds. One pruned docstats scan: the
     * sidecar is segId-partitioned with per-file docId min/max stats, so the

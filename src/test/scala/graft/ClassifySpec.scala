@@ -1,0 +1,209 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.build.IndexBuilder
+import graft.build.IndexBuilder.IndexConfig
+import graft.model.CorpusRow
+import graft.ref.RefModel
+import graft.search.{Highlight, KeyTerms, QOr, QTerm, Q, QueryParser, Searcher}
+
+/** Key terms (Bo1, D11), more-like-this, highlighting (D12), facets and
+  * sorted search — the round-3 classify/highlight surface. */
+class ClassifySpec extends AnyFunSuite with PropSupport {
+
+  private lazy val spark = SparkTestBase.spark
+
+  // ---- pure Bo1 ----
+
+  test("bo1: monotone increasing in wt, decreasing in cf, positive") {
+    forSamples(Gen.choose(1, 50), Gen.choose(1L, 1000L), Gen.choose(1001L, 100000L)) {
+      (wt, cf, n) =>
+        val s = KeyTerms.bo1(wt.toDouble, cf, n)
+        assert(s > 0.0)
+        assert(KeyTerms.bo1(wt + 1.0, cf, n) > s)
+        assert(KeyTerms.bo1(wt.toDouble, cf + 1, n) < s)
+    }
+  }
+
+  // ---- highlight kernel vs a brute-force model ----
+
+  /** obviously-correct reference: enumerate match positions, merge windows
+    * by interval overlap/adjacency, score = matches, rank, render */
+  private def refFragments(content: String, terms: Set[String], surround: Int,
+                           maxFrags: Int): Seq[Highlight.Fragment] = {
+    val m = graft.analysis.Analyzer.TokenPattern.matcher(content)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) toks += m.group()
+    def isMatch(i: Int) = terms.contains(toks(i).toLowerCase(java.util.Locale.ROOT))
+    val ms = toks.indices.filter(isMatch)
+    if (ms.isEmpty) return Seq.empty
+    // merge by island rule: consecutive matches <= 2*surround apart share
+    val groups = ms.foldLeft(List.empty[List[Int]]) {
+      case (Nil, p) => List(List(p))
+      case (cur :: rest, p) =>
+        if (p - cur.head <= 2 * surround) (p :: cur) :: rest
+        else List(p) :: (cur :: rest)
+    }.map(_.reverse).reverse
+    groups.map { g =>
+      val s = math.max(0, g.head - surround)
+      val e = math.min(toks.length - 1, g.last + surround)
+      val text = (s to e).map(i => if (isMatch(i)) s"<b>${toks(i)}</b>" else toks(i))
+        .mkString(" ")
+      Highlight.Fragment(s, e, g.size, text)
+    }.sortBy(f => (-f.matches, f.startPos)).take(maxFrags)
+  }
+
+  private val tokGen: Gen[String] =
+    Gen.frequency(5 -> Gen.const("aa"), 3 -> Gen.const("bb"),
+      2 -> Gen.const("Aa"), 4 -> Gen.oneOf("xx", "yy", "zz", "qq"))
+
+  test("highlight fragments == brute-force window model (random streams)") {
+    forSamples(Gen.listOf(tokGen), Gen.choose(0, 4), Gen.choose(1, 3)) {
+      (toks, surround, maxFrags) =>
+        val content = toks.mkString(" ")
+        val terms = Set("aa", "bb")
+        val got = Highlight.fragments(content, terms, surround, maxFrags)
+        assert(got == refFragments(content, terms, surround, maxFrags))
+    }
+  }
+
+  test("highlight: fragment invariants") {
+    forSamples(Gen.listOf(tokGen)) { toks =>
+      val content = toks.mkString(" ")
+      val frags = Highlight.fragments(content, Set("aa"), surround = 2,
+        maxFrags = Int.MaxValue >> 1)
+      // every match position is in exactly one fragment; fragments disjoint
+      val total = toks.count(_.toLowerCase == "aa")
+      assert(frags.map(_.matches).sum == total)
+      val spans = frags.map(f => (f.startPos, f.endPos)).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 < s2)
+        case _ =>
+      }
+      // render strips back to the window's raw tokens
+      frags.foreach { f =>
+        val stripped = f.text.replace("<b>", "").replace("</b>", "").split(" ").toSeq
+        assert(stripped == toks.slice(f.startPos, f.endPos + 1))
+      }
+    }
+  }
+
+  // ---- end-to-end over a built index ----
+
+  private def smallCorpus: Seq[CorpusRow] = {
+    val texts = Seq(
+      "spark merge join shuffle partition merge",
+      "merge sort algorithm with stable merge passes and merge cost",
+      "join strategies broadcast join and shuffle hash join",
+      "the quick brown fox jumps over the lazy dog",
+      "spark spark spark streaming watermark state",
+      "partition pruning and predicate pushdown in columnar scans")
+    texts.zipWithIndex.map { case (t, i) =>
+      CorpusRow("r0", f"d/$i%04d.txt", f"$i%040x", "text", t)
+    }
+  }
+
+  private def buildSmall(): (String, Seq[(Long, String)]) = {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("classify")
+    val rows = smallCorpus
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 4))
+    val docs = rows.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.content) }
+    (dir, docs)
+  }
+
+  test("lexicon cf == sum of tf across docs; keyTerms paths agree") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+
+    // cf invariant vs the analyzer
+    val want = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, c) =>
+      graft.analysis.Analyzer.tokenize(c).foreach(t =>
+        want.update(t.term, want.getOrElse(t.term, 0L) + 1L))
+    }
+    val got = handle.lexicon.select($"term", $"cf").as[(String, Long)]
+      .collect().toMap
+    assert(got == want.toMap)
+
+    // forDocs on a single doc == fromText on its content (same scores)
+    val corpus = spark.createDataset(smallCorpus)
+    val viaDf = KeyTerms.forDocs(spark, handle, corpus, Seq(1L), 100)
+      .as[(String, Double)].collect().toSeq
+    val viaText = KeyTerms.fromText(spark, handle, docs(1)._2, 100)
+    assert(viaDf.toMap.keySet == viaText.toMap.keySet)
+    viaText.foreach { case (t, s) =>
+      assert(math.abs(viaDf.toMap.apply(t) - s) <= 1e-12, s"term $t")
+    }
+    // descending by score, tie by term
+    assert(viaDf == viaDf.sortBy { case (t, s) => (-s, t) })
+  }
+
+  test("moreLikeThis: masks the source doc, rank-identical to RefModel on the expansion query") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val corpus = spark.createDataset(smallCorpus)
+    val src = 1L
+    val q = KeyTerms.moreLikeThisQuery(spark, handle, corpus, src, 5)
+    q match {
+      case QOr(cs) =>
+        assert(cs.nonEmpty && cs.forall(_.isInstanceOf[QTerm]))
+        // boosts are the Bo1 scores of the source doc's terms
+        val kts = KeyTerms.fromText(spark, handle, docs(src.toInt)._2, 5).toMap
+        cs.foreach { case QTerm(t, _, b) => assert(b == kts(t)); case _ => fail() }
+      case other => fail(s"expected QOr, got $other")
+    }
+    val hits = KeyTerms.moreLikeThis(spark, handle, corpus, src, 5, 3).collect().toSeq
+    assert(!hits.exists(_.docId == src))
+    val oracle = new RefModel(docs).search(q, 4).filterNot(_._1 == src).take(3)
+    assert(hits.map(_.docId) == oracle.map(_._1))
+    hits.zip(oracle).foreach { case (h, (_, s)) => assert(math.abs(h.score - s) <= 1e-6) }
+  }
+
+  test("facetCounts and searchSortedBy match brute force") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val matching = docs.collect {
+      case (id, c) if graft.analysis.Analyzer.tokenize(c).exists(_.term == "merge") => id
+    }.toSet
+
+    val fc = Searcher.facetCounts(spark, handle, "merge", "lang")
+      .as[(String, Long)].collect().toMap
+    assert(fc == Map("text" -> matching.size.toLong))
+    assert(fc.values.sum ==
+      Searcher.matchingIds(spark, handle, "merge").count())
+
+    val sorted = Searcher.searchSortedBy(spark, handle, "merge", "path",
+      asc = false, k = 10).as[(Long, String)].collect().toSeq
+    val want = matching.toSeq.map(id => (id, f"d/$id%04d.txt"))
+      .sortBy { case (id, p) => (p, id) }(Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
+      .take(10)
+    assert(sorted == want)
+  }
+
+  test("highlights over hits: rows only for matching docs, html render pinned") {
+    import spark.implicits._
+    val (dir, _) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val corpus = spark.createDataset(smallCorpus)
+    val rows = Highlight.highlights(spark, handle, corpus, "merge OR join",
+      (0L until 6L), surround = 1, maxFrags = 2)
+      .as[(Long, Int, Int, Int, Int, String)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._6.contains("<b>")))
+    // doc 3 ("the quick brown fox...") has no match — no rows
+    assert(!rows.exists(_._1 == 3L))
+    // doc 0: "spark merge join shuffle partition merge" — one island
+    // (positions 1,2 adjacent; 5 at gap 3 > 2*1) -> two fragments
+    val d0 = rows.filter(_._1 == 0L)
+    assert(d0.map(_._6) == Seq(
+      "spark <b>merge</b> <b>join</b> shuffle",
+      "partition <b>merge</b>"))
+  }
+}
