@@ -324,6 +324,21 @@ object SparkEntry {
         .limit(10)
         .select($"docId".as("docid"), round($"score", 4).as("score"))
     }),
+    // DisjunctionMax ([W] whoosh/query/compound.py, programmatic surface):
+    // score = best matching clause (tiebreak 0 — Whoosh's default)
+    "ft_topk_dismax" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QDisMax(List(
+        graft.search.QTerm("spark"), graft.search.QTerm("merge"),
+        graft.search.QTerm("join")))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // facet counts ([W] whoosh/sorting.py groupedby): every match of the
     // query counted per stored-field value
     "ft_facet_lang" -> ((s, dir) => {
@@ -384,6 +399,11 @@ object SparkEntry {
     "dd_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
+    // near-dup clusters: connected components over the LSH pair relation,
+    // every non-singleton doc mapped to its component's canonical (min) id
+    "dd_components" -> ((s, dir) =>
+      Dedup.components(
+        Dedup.minhashPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7))),
     // SimHash signatures + hamming-blocked pairs (binary codec not
     // SQL-expressible -> rows-only)
     "dd_simhash" -> ((s, dir) => Dedup.simhash(docsTable(s, dir), "doc_id", "text")),
@@ -744,6 +764,11 @@ object SparkEntry {
         |  WHERE f.docid != 42 GROUP BY f.docid)
         |""".stripMargin.replace("\n", " ") +
       rank("SELECT docid, score FROM scored")),
+    // DisjunctionMax, tiebreak 0: score = best matching clause's BM25
+    "ft_topk_dismax" -> (cte + " " + rank(
+      """SELECT docid, max(s) AS score FROM contrib
+        | WHERE term IN ('spark','merge','join') GROUP BY docid"""
+        .stripMargin.replace("\n", " "))),
     // facet counts: every 'merge' match grouped by the stored lang field
     "ft_facet_lang" -> (cte +
       """ SELECT lang, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
@@ -827,6 +852,22 @@ object SparkEntry {
         |s AS (SELECT id_a, id_b, dot / sqrt(na.n2 * nb.n2) AS sim
         |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b)
         |SELECT id_a, id_b, round(sim, 4) AS sim FROM s WHERE sim >= 0.45"""
+        .stripMargin.replace("\n", " "),
+    // components over the exhaustive >=0.7 Jaccard pair graph (recursive
+    // reachability; component = min reachable id)
+    "dd_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w)-1)]) AS s
+        |  FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |pp AS (SELECT id_a, id_b FROM p WHERE j >= 0.7),
+        |e AS (SELECT id_a AS a, id_b AS b FROM pp UNION ALL SELECT id_b, id_a FROM pp),
+        |reach AS (SELECT a AS id, b AS r FROM e
+        |  UNION SELECT rc.id, e.b FROM reach rc JOIN e ON e.a = rc.r)
+        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id"""
         .stripMargin.replace("\n", " "),
     "dd_simhash" -> OracleSql.ddSimhash(seed = 7L),
     "dd_simhash_pairs" -> OracleSql.ddSimhashPairs(maxHamming = 6, seed = 7L),

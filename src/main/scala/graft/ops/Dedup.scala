@@ -269,4 +269,54 @@ object Dedup {
       .distinct()
       .toDF("id_a", "id_b", "hamming")
   }
+
+  /** Connected components over a near-dup pair relation (`id_a`, `id_b`) —
+    * the clustering step a corpus-scale dedup pipeline runs after pair
+    * generation (minhashPairs / simhashPairs / cosinePairs), mapping every
+    * non-singleton member to its component's minimum id (the canonical doc).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round does (1) label(v) <- min over neighbors' labels (one
+    * shuffle join on the edge relation) and (2) label(v) <-
+    * label(label(v)) (one self-join on the label map — path-doubling, so a
+    * chain of length L converges in O(log L) rounds, not O(L)). Rounds end
+    * at fixpoint; `localCheckpoint` truncates the per-round lineage so the
+    * plan stays flat no matter how many rounds run. Labels shrink
+    * monotonically toward the component minimum — convergence is exact and
+    * deterministic, no tolerance involved. Singletons (rows in no pair)
+    * are omitted; they are trivially their own canonical doc. */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("ncomp")).as("nmin"))
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+      val jumped = propagated.as("l")
+        .join(propagated.select(col("id").as("cid"), col("comp").as("ccomp")).as("m"),
+          col("l.comp") === col("m.cid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.comp"), coalesce(col("ccomp"), col("l.comp"))).as("comp"))
+        .localCheckpoint(true)
+      converged = jumped.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
+        .filter(col("comp") =!= col("old"))
+        .isEmpty
+      labels = jumped
+      it += 1
+    }
+    require(converged, s"components did not converge in $maxIters rounds")
+    labels.select(col("id"), col("comp").as("component"))
+  }
 }

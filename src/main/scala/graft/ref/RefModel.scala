@@ -78,6 +78,10 @@ final class RefModel(docs: Seq[(Long, String)],
     case QOr(cs) =>
       val scores = cs.flatMap(c => scoreDoc(c, docId))
       if (scores.isEmpty) None else Some(scores.sum)
+    case QDisMax(cs, tb) =>
+      val scores = cs.flatMap(c => scoreDoc(c, docId))
+      if (scores.isEmpty) None
+      else Some(scores.max + tb * (scores.sum - scores.max))
     case QNot(p, n) =>
       if (scoreDoc(n, docId).isDefined) None else scoreDoc(p, docId)
     case QAndMaybe(p, m) =>

@@ -119,6 +119,13 @@ object Kernel {
         case m :: Nil => m
         case _        => new OrMatcher(ms.toArray)
       }
+    case QDisMax(cs, tb) =>
+      val ms = cs.map(buildMatcher(_, lists, statsOf, w)).filterNot(_ eq EmptyMatcher)
+      ms match {
+        case Nil      => EmptyMatcher
+        case m :: Nil => m
+        case _        => new DisMaxMatcher(ms.toArray, tb)
+      }
     case QNot(p, n) =>
       val pm = buildMatcher(p, lists, statsOf, w)
       val nm = buildMatcher(n, lists, statsOf, w)

@@ -164,6 +164,60 @@ final class OrMatcher(children: Array[Matcher]) extends Matcher {
   }
 }
 
+/** Disjunction-max ([W] whoosh/query/compound.py DisjunctionMax): matches
+  * any child's doc; score = best matching child + tiebreak * the rest
+  * (mx + tiebreak * (sum - mx), exact when tiebreak = 0). */
+final class DisMaxMatcher(children: Array[Matcher], tiebreak: Double) extends Matcher {
+  val maxScore: Double = combine(children.map(_.maxScore))
+  private def combine(xs: Array[Double]): Double = {
+    if (xs.isEmpty) return 0.0
+    var sum = 0.0
+    var mx = Double.NegativeInfinity
+    var i = 0
+    while (i < xs.length) {
+      sum += xs(i)
+      if (xs(i) > mx) mx = xs(i)
+      i += 1
+    }
+    mx + tiebreak * (sum - mx)
+  }
+  def docId: Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < m) m = children(i).docId
+      i += 1
+    }
+    m
+  }
+  def advance(): Unit = {
+    val d = docId
+    if (d == Long.MaxValue) return
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) children(i).advance()
+      i += 1
+    }
+  }
+  def skipTo(target: Long): Unit = {
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < target) children(i).skipTo(target)
+      i += 1
+    }
+  }
+  def score: Double = {
+    val d = docId
+    combine(children.collect { case c if c.docId == d => c.score })
+  }
+  def currentUpperBound: Double = {
+    val d = docId
+    combine(children.map(c =>
+      if (c.docId == d) c.currentUpperBound
+      else c.maxScore)) // conservative: may still match later docs
+  }
+}
+
 /** a NOT b: positive matches with the negative's docs removed (Q6);
   * score = positive's score. */
 final class NotMatcher(pos: Matcher, neg: Matcher) extends Matcher {

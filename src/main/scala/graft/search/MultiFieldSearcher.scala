@@ -61,6 +61,7 @@ object MultiFieldSearcher {
       case m: QRange    => m.copy(boost = m.boost * bf(m.field))
       case QAnd(cs)        => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
       case QOr(cs)         => QOr(cs.map(applyFieldBoosts(_, boostOf)))
+      case QDisMax(cs, tb) => QDisMax(cs.map(applyFieldBoosts(_, boostOf)), tb)
       case QNot(p, n)      => QNot(applyFieldBoosts(p, boostOf), applyFieldBoosts(n, boostOf))
       case QAndMaybe(p, m) => QAndMaybe(applyFieldBoosts(p, boostOf), applyFieldBoosts(m, boostOf))
       case QRequire(p, f)  => QRequire(applyFieldBoosts(p, boostOf), applyFieldBoosts(f, boostOf))
@@ -88,6 +89,7 @@ object MultiFieldSearcher {
         }
       case QAnd(cs)        => QAnd(cs.map(rec))
       case QOr(cs)         => QOr(cs.map(rec))
+      case QDisMax(cs, tb) => QDisMax(cs.map(rec), tb)
       case QNot(p, n)      => QNot(rec(p), rec(n))
       case QAndMaybe(p, m) => QAndMaybe(rec(p), rec(m))
       case QRequire(p, f)  => QRequire(rec(p), rec(f))

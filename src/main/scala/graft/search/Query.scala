@@ -19,6 +19,7 @@ sealed trait Q extends Serializable {
     case QPhrase(ts, f, _, _) => ts.map(t => (f, t._1)).toSet
     case QAnd(cs)          => cs.flatMap(_.fieldTerms).toSet
     case QOr(cs)           => cs.flatMap(_.fieldTerms).toSet
+    case QDisMax(cs, _)    => cs.flatMap(_.fieldTerms).toSet
     case QNot(p, n)        => p.fieldTerms ++ n.fieldTerms
     case QAndMaybe(p, m)   => p.fieldTerms ++ m.fieldTerms
     case QRequire(p, f)    => p.fieldTerms ++ f.fieldTerms
@@ -31,6 +32,7 @@ sealed trait Q extends Serializable {
     case _: QMulti       => true
     case QAnd(cs)        => cs.exists(_.hasPrefix)
     case QOr(cs)         => cs.exists(_.hasPrefix)
+    case QDisMax(cs, _)  => cs.exists(_.hasPrefix)
     case QNot(p, n)      => p.hasPrefix || n.hasPrefix
     case QAndMaybe(p, m) => p.hasPrefix || m.hasPrefix
     case QRequire(p, f)  => p.hasPrefix || f.hasPrefix
@@ -42,6 +44,7 @@ sealed trait Q extends Serializable {
     case QEvery(_, f)    => Set(f)
     case QAnd(cs)        => cs.flatMap(_.everyFields).toSet
     case QOr(cs)         => cs.flatMap(_.everyFields).toSet
+    case QDisMax(cs, _)  => cs.flatMap(_.everyFields).toSet
     case QNot(p, n)      => p.everyFields ++ n.everyFields
     case QAndMaybe(p, m) => p.everyFields ++ m.everyFields
     case QRequire(p, f)  => p.everyFields ++ f.everyFields
@@ -74,6 +77,11 @@ final case class QTerm(term: String, field: String = Q.DefaultField,
 final case class QPhrase(ts: List[(String, Int)], field: String = Q.DefaultField,
                          boost: Double = 1.0, slop: Int = 1) extends Q
 final case class QAnd(cs: List[Q]) extends Q
+/** Whoosh DisjunctionMax (programmatic surface — no query-language form):
+  * matches any child's doc; score = the best matching child's score plus
+  * `tiebreak` times the remaining matching children's scores
+  * (mx + tiebreak * (sum - mx), FP order pinned thus in kernel+RefModel). */
+final case class QDisMax(cs: List[Q], tiebreak: Double = 0.0) extends Q
 final case class QOr(cs: List[Q]) extends Q
 /** matches positive minus docs matching negative; scored by positive only */
 final case class QNot(positive: Q, negative: Q) extends Q
@@ -194,6 +202,12 @@ object QueryRewrite {
       if (es.contains(QEmpty)) QEmpty else QAnd(es)
     case QOr(cs) =>
       es2or(cs.map(expandPrefixes(_, scan)))
+    case QDisMax(cs, tb) =>
+      cs.map(expandPrefixes(_, scan)).filterNot(_ == QEmpty) match {
+        case Nil      => QEmpty
+        case c :: Nil => c
+        case xs       => QDisMax(xs, tb)
+      }
     case QNot(p, n) =>
       val pe = expandPrefixes(p, scan)
       val ne = expandPrefixes(n, scan)

@@ -90,6 +90,30 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  // ---- DisMax ----
+
+  test("DisMax: kernel == RefModel (tiebreak 0 and 0.3), collapses like OR") {
+    import graft.search.{Kernel, QDisMax}
+    val (lists, stats) = TestFixtures.memSegment(TestFixtures.fixture5)
+    val ref = new RefModel(TestFixtures.fixture5)
+    for (tb <- Seq(0.0, 0.3)) {
+      val q = QDisMax(List(QTerm("search"), QTerm("frequency"), QTerm("engine")), tb)
+      val hits = Kernel.topK(q, lists, stats, 10).toSeq
+      val want = ref.search(q: Q, 10)
+      assert(hits.map(_.docId) == want.map(_._1), s"tiebreak $tb")
+      hits.zip(want).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-9, s"tiebreak $tb")
+      }
+    }
+    // tiebreak 1.0 degenerates to OR's sum-of-scores
+    val qMax = QDisMax(List(QTerm("search"), QTerm("engine")), 1.0)
+    val qOr = QOr(List(QTerm("search"), QTerm("engine")))
+    val hMax = Kernel.topK(qMax, lists, stats, 10).toSeq
+    val hOr = Kernel.topK(qOr, lists, stats, 10).toSeq
+    assert(hMax.map(_.docId) == hOr.map(_.docId))
+    hMax.zip(hOr).foreach { case (a, b) => assert(math.abs(a.score - b.score) <= 1e-9) }
+  }
+
   // ---- end-to-end over a built index ----
 
   private def smallCorpus: Seq[CorpusRow] = {
@@ -185,6 +209,41 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
       .sortBy { case (id, p) => (p, id) }(Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
       .take(10)
     assert(sorted == want)
+  }
+
+  // ---- connected components ----
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("components == brute-force union-find on random graphs; chains converge fast") {
+    import spark.implicits._
+    val edgeGen = Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter(e => e._1 != e._2))
+    forSamples(edgeGen, 25) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        val got = graft.ops.Dedup.components(df)
+          .as[(Long, Long)].collect().toMap
+        assert(got == bruteComponents(edges))
+      }
+    }
+    // a 60-node chain: pointer jumping must converge well under 50 rounds
+    val chain = (0L until 59L).map(i => (i + 1, i))
+    val got = graft.ops.Dedup.components(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 60L).map(_ -> 0L).toMap)
   }
 
   test("highlights over hits: rows only for matching docs, html render pinned") {
