@@ -247,6 +247,19 @@ object SparkEntry {
         .toDF("term", "dist", "df")
         .select($"term", $"dist".cast("long").as("dist"), $"df")
     }),
+    // query correction (Whoosh correct_query, D13): unknown terms replaced
+    // by their top suggestion, then the corrected query runs as usual
+    "ft_correct" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = Searcher.correctQuery(s, handle, "spask AND mege")
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // Whoosh AndMaybe: matches the left side, right side only boosts
     "ft_topk_andmaybe" -> ((s, dir) => topk(s, dir, "merge ANDMAYBE join")),
     // Whoosh Require: right side filters, only the left side scores
@@ -629,6 +642,20 @@ object SparkEntry {
         | ORDER BY dist ASC, df DESC, term ASC LIMIT 5"""
         .stripMargin.replace("\n", " ")),
 
+    // correction replicated end-to-end: top-1 suggestion per unknown term
+    // (the suggest ranking), then the corrected AND scores as usual
+    "ft_correct" -> (cte +
+      """, c1 AS (SELECT term FROM dft
+        |  WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'spask') <= 2
+        |  ORDER BY levenshtein(term, 'spask') ASC, df DESC, term ASC LIMIT 1),
+        |c2 AS (SELECT term FROM dft
+        |  WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'mege') <= 2
+        |  ORDER BY levenshtein(term, 'mege') ASC, df DESC, term ASC LIMIT 1)
+        |""".stripMargin.replace("\n", " ") +
+      rank(
+        """SELECT docid, sum(s) AS score FROM contrib
+          | WHERE term IN (SELECT term FROM c1 UNION ALL SELECT term FROM c2)
+          | GROUP BY docid HAVING count(*) = 2""".stripMargin.replace("\n", " "))),
     "ft_topk_andmaybe" -> (cte + " " + rank(
       """SELECT m.docid, m.s + coalesce(j.s, 0.0) AS score
         | FROM (SELECT docid, s FROM contrib WHERE term = 'merge') m

@@ -421,6 +421,47 @@ object IndexBuilder {
       .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
   }
 
+  /** Incremental lexicon maintenance for appends: aggregate ONLY the new
+    * segments' (term, df, cf), merge into the existing lexicon (union +
+    * re-aggregate — vocab-sized, never a full segment scan), and append
+    * just the NEW terms' 3-grams to the sidecar. At 10^12-doc scale this is
+    * what keeps a small streaming append from re-reading every segment's
+    * term column: the scan is delta-sized, the rewrite is vocab-sized.
+    * Appended gram files overlap the existing range partitioning — the
+    * `gram IN` probe prunes by per-file min/max stats, so pruning holds.
+    * Falls back to the full build when no lexicon exists yet. */
+  def updateLexicon(spark: SparkSession, indexDir: String,
+                    newSegIds: Seq[Int]): Unit = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(lexiconDir(indexDir))) || newSegIds.isEmpty) {
+      writeLexicon(spark, indexDir)
+      return
+    }
+    val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    val delta = spark.read.parquet(segmentsDir(indexDir))
+      .filter(col("segId").isin(newSegIds: _*))
+      .groupBy($"term").agg(sum($"df").cast("long").as("df"),
+        sum($"cf").cast("long").as("cf"))
+    val old = spark.read.parquet(lexiconDir(indexDir))
+    // new terms' grams (delta-sized) — before the lexicon dirs move
+    val newGrams = delta.select($"term").join(old.select($"term"), Seq("term"), "left_anti")
+      .as[String].flatMap(t => grams3(t).iterator.map(g => (g, t)))
+      .toDF("gram", "term")
+      .repartitionByRange(lexPartitions, $"gram")
+      .sortWithinPartitions("gram", "term")
+    val staging = s"${stagingDir(indexDir)}/lexicon"
+    old.unionByName(delta)
+      .groupBy($"term").agg(sum($"df").cast("long").as("df"),
+        sum($"cf").cast("long").as("cf"))
+      .repartitionByRange(lexPartitions, $"term")
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    newGrams.write.mode(SaveMode.Append).parquet(lexgramsDir(indexDir))
+    promoteDir(fs, staging, lexiconDir(indexDir))
+  }
+
   /** distinct character 3-grams of a term (terms shorter than 3 chars have
     * none and always take the full-scan fallback) */
   def grams3(t: String): Array[String] =
@@ -510,7 +551,7 @@ object IndexBuilder {
       l("segSize").toInt, analyzer)
   }
 
-  private def promoteDir(fs: FileSystem, from: String, to: String): Unit = {
+  private[graft] def promoteDir(fs: FileSystem, from: String, to: String): Unit = {
     val src = new Path(from)
     val dst = new Path(to)
     if (!fs.exists(src)) {

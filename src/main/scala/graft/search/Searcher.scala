@@ -158,6 +158,38 @@ object Searcher {
       .collect().toSeq
   }
 
+  /** Query correction ([W] whoosh/searching.py `correct_query`, decision
+    * D13): every term of the parsed query that is NOT in the lexicon
+    * (df 0) is replaced by its top spelling suggestion (distance asc,
+    * df desc, term asc — the `suggest` ranking); terms with no suggestion
+    * within `maxDist` stay as-is. Terms inside phrases are corrected too;
+    * multiterm/Every nodes are untouched. Cost: one pruned df lookup plus
+    * one suggest scan per unknown term (lexicon-sized, never corpus-sized). */
+  def correctQuery(spark: SparkSession, handle: IndexHandle, query: String,
+                   maxDist: Int = 2): Q = {
+    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val dfs = termDfs(spark, handle, q0.terms)
+    val unknown = dfs.collect { case (t, 0L) => t }.toSet
+    if (unknown.isEmpty) return q0
+    val repl: Map[String, String] = unknown.iterator.map { t =>
+      t -> suggest(spark, handle, t, 1, maxDist).headOption.map(_._1).getOrElse(t)
+    }.toMap
+    def rec(q: Q): Q = q match {
+      case t: QTerm if repl.contains(t.term) => t.copy(term = repl(t.term))
+      case p: QPhrase =>
+        p.copy(ts = p.ts.map { case (t, o) => (repl.getOrElse(t, t), o) })
+      case QAnd(cs)        => QAnd(cs.map(rec))
+      case QOr(cs)         => QOr(cs.map(rec))
+      case QDisMax(cs, tb) => QDisMax(cs.map(rec), tb)
+      case QNot(p, n)      => QNot(rec(p), rec(n))
+      case QAndMaybe(p, m) => QAndMaybe(rec(p), rec(m))
+      case QRequire(p, f)  => QRequire(rec(p), rec(f))
+      case QPureNot(n)     => QPureNot(rec(n))
+      case other           => other
+    }
+    rec(q0)
+  }
+
   /** global df for the query's terms: one pruned lexicon scan for the
     * not-yet-cached terms (a term absent from the lexicon has df 0 and is
     * cached as such so it's never re-fetched) */

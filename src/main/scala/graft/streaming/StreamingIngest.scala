@@ -61,7 +61,9 @@ object StreamingIngest {
       numSegments = manifests.size,
       segSize = segSize,
       analyzer = analyzer.asString)
-    IndexBuilder.writeLexicon(spark, indexDir)
+    // incremental: only the appended segments are scanned, merged into the
+    // existing lexicon (a small append must not re-read the whole index)
+    IndexBuilder.updateLexicon(spark, indexDir, newSegs)
     IndexBuilder.writeStats(fs, indexDir, stats)
     stats
   }

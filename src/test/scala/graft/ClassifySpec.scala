@@ -7,7 +7,7 @@ import graft.build.IndexBuilder
 import graft.build.IndexBuilder.IndexConfig
 import graft.model.CorpusRow
 import graft.ref.RefModel
-import graft.search.{Highlight, KeyTerms, QOr, QTerm, Q, QueryParser, Searcher}
+import graft.search.{Highlight, KeyTerms, QAnd, QOr, QPhrase, QTerm, Q, QueryParser, Searcher}
 
 /** Key terms (Bo1, D11), more-like-this, highlighting (D12), facets and
   * sorted search — the round-3 classify/highlight surface. */
@@ -187,6 +187,21 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     val oracle = new RefModel(docs).search(q, 4).filterNot(_._1 == src).take(3)
     assert(hits.map(_.docId) == oracle.map(_._1))
     hits.zip(oracle).foreach { case (h, (_, s)) => assert(math.abs(h.score - s) <= 1e-6) }
+  }
+
+  test("correctQuery replaces unknown terms via suggest (D13)") {
+    val (dir, _) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    assert(Searcher.correctQuery(spark, handle, "spask AND mege") ==
+      QAnd(List(QTerm("spark"), QTerm("merge"))))
+    // known terms untouched; unknown with no candidate within maxDist stays
+    assert(Searcher.correctQuery(spark, handle, "spark AND qqqqqqqq") ==
+      QAnd(List(QTerm("spark"), QTerm("qqqqqqqq"))))
+    // phrase members are corrected too
+    Searcher.correctQuery(spark, handle, "\"spask mege\"") match {
+      case p: QPhrase => assert(p.ts.map(_._1) == List("spark", "merge"))
+      case other     => fail(s"expected QPhrase, got $other")
+    }
   }
 
   test("facetCounts and searchSortedBy match brute force") {

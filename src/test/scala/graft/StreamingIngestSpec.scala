@@ -91,4 +91,28 @@ class StreamingIngestSpec extends AnyFunSuite {
     val oracle = ref.search("w0000", 10)
     assert(hits.map(_.docId) == oracle.map(_._1))
   }
+
+  test("incremental lexicon after append == full rebuild (df, cf, grams probe)") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("inclex")
+    val segSize = 16
+    IndexBuilder.build(spark, spark.createDataset(mkRows(7L, 0, 40)), dir,
+      IndexConfig(segSize = segSize))
+    // two successive appends exercise delta-merge twice (terms old+new)
+    StreamingIngest.append(spark, spark.createDataset(mkRows(7L, 40, 60)), dir,
+      IndexConfig(segSize = segSize))
+    StreamingIngest.append(spark, spark.createDataset(mkRows(7L, 60, 70)), dir,
+      IndexConfig(segSize = segSize))
+    val incremental = spark.read.parquet(IndexBuilder.lexiconDir(dir))
+      .as[(String, Long, Long)].collect().toSet
+    val incGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
+      .as[(String, String)].collect().toSet
+    IndexBuilder.writeLexicon(spark, dir) // full rebuild over all segments
+    val full = spark.read.parquet(IndexBuilder.lexiconDir(dir))
+      .as[(String, Long, Long)].collect().toSet
+    val fullGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
+      .as[(String, String)].collect().toSet
+    assert(incremental == full)
+    assert(incGramTerms == fullGramTerms)
+  }
 }
