@@ -301,6 +301,20 @@ object SparkEntry {
       mfTopk(s, dir, "spark OR dirs:d/0000042.txt^2")),
     // boolean field type: T/F keyword terms, here as an AND-side filter
     "ft_topk_bool" -> ((s, dir) => mfTopk(s, dir, "big:true AND spark")),
+    // MultifieldParser analog: unqualified leaves hit content AND path
+    // (per-leaf OR combine); 'spark' scores in content, the filename term
+    // in path — neither exists in the other field's lexicon
+    "ft_topk_multifield" -> ((s, dir) => {
+      import s.implicits._
+      val mh = MultiFieldSearcher.open(s, multiIndexFor(s, dir), mfSchema)
+      val kAll = mh.defaultHandle.stats.numDocs.toInt + 1
+      MultiFieldSearcher.searchMultifield(s, mh, "spark OR 0000042.txt", kAll,
+          fields = Seq("content", "path"))
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // upsert by unique key (put_document): re-putting changed docs
     // tombstones the old versions; live set reflects exactly the new text
     "ft_upsert" -> ((s, dir) => {
@@ -708,6 +722,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT i.docid,
         |    (2.0 * (ln(p.n::DOUBLE / 2.0) + 1.0)) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0)) AS s
+        |  FROM ids i CROSS JOIN params p WHERE i.path = 'd/0000042.txt'
+        |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // multifield OR: content 'spark' + the path field's filename term
+    // (one surviving path token per doc -> fl = avgfl = 1, df = 1)
+    "ft_topk_multifield" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |  SELECT docid, s FROM contrib WHERE term = 'spark'
+        |  UNION ALL
+        |  SELECT i.docid,
+        |    (ln(p.n::DOUBLE / 2.0) + 1.0) * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 1.0)) AS s
         |  FROM ids i CROSS JOIN params p WHERE i.path = 'd/0000042.txt'
         |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
     // path-tokenized field: the single matching doc's contribution is

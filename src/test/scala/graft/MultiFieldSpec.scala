@@ -96,6 +96,50 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("multifield parse: unqualified leaves hit every field (OR and DisMax)") {
+    import spark.implicits._
+    val root = SparkTestBase.tmpDir("mfp")
+    def head8(r: CorpusRow): String = r.content.split(" ").take(8).mkString(" ")
+    val fields = Seq(FieldSpec("content", _.content), FieldSpec("head", head8))
+    MultiFieldIndex.build(spark, spark.createDataset(rows), root, fields,
+      IndexConfig(segSize = 40))
+    val mh = MultiFieldSearcher.open(spark, root, fields)
+
+    val st = stamped(rows)
+    val rmC = new RefModel(st.map { case (i, r) => (i, r.content) })
+    val rmH = new RefModel(st.map { case (i, r) => (i, head8(r)) })
+
+    def leaf(t: String, d: Long, tb: Option[Double]): Option[Double] = {
+      val ss = Seq(rmC.scoreDoc(QTerm(t), d), rmH.scoreDoc(QTerm(t), d)).flatten
+      if (ss.isEmpty) None
+      else Some(tb match {
+        case None    => ss.sum
+        case Some(x) => ss.max + x * (ss.sum - ss.max)
+      })
+    }
+    for (tb <- Seq(None, Some(0.0), Some(0.4))) {
+      val hits = MultiFieldSearcher.searchMultifield(spark, mh,
+        "w0000 AND w0001", 10, dismax = tb).collect().toSeq
+      val want = (0L until rows.size.toLong).flatMap { d =>
+        (leaf("w0000", d, tb), leaf("w0001", d, tb)) match {
+          case (Some(a), Some(b)) => Some((d, a + b))
+          case _                  => None
+        }
+      }.sortBy { case (d, s) => (-s, d) }.take(10)
+      assert(hits.map(_.docId) == want.map(_._1), s"dismax=$tb")
+      hits.zip(want).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-6, s"dismax=$tb")
+      }
+    }
+    // explicitly qualified nodes survive the rewrite untouched
+    MultiFieldSearcher.parseMultifield("head:w0000 OR w0001", mh) match {
+      case QOr(List(t: QTerm, QOr(expanded))) =>
+        assert(t.field == "head")
+        assert(expanded.collect { case q: QTerm => q.field } == List("content", "head"))
+      case other => fail(s"unexpected shape: $other")
+    }
+  }
+
   test("schema-time field boost multiplies into query-node boosts") {
     import spark.implicits._
     val root = SparkTestBase.tmpDir("mfb")
