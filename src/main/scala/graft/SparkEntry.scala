@@ -239,6 +239,32 @@ object SparkEntry {
     "ft_topk_trange" -> ((s, dir) => topk(s, dir, "[qu TO sp]")),
     // fuzzy (Whoosh FuzzyTerm): banded Levenshtein <= 2, gram-pruned scan
     "ft_topk_fuzzy" -> ((s, dir) => topk(s, dir, "part~2")),
+    // batch search: many queries, ONE job (union-pruned scan, shared
+    // kernel pass per segment, per-query top-k window)
+    "ft_search_many" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val kAll = handle.stats.numDocs.toInt + 1
+      val res = Searcher.searchMany(s, handle,
+        Seq("t" -> "spark", "a" -> "merge AND join", "p" -> "\"table scan\""), kAll)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+        .orderBy(round($"score", 6).desc, $"docId".asc)
+      res.withColumn("rn", row_number().over(w)).filter($"rn" <= 10)
+        .select($"qid", $"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // reader stats: top terms by collection frequency / by cf * idf
+    "ft_top_terms" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.mostFrequentTerms(s, handle, 10)
+    }),
+    "ft_distinctive_terms" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.mostDistinctiveTerms(s, handle, 1 << 20)
+        .withColumn("r6", round(col("score"), 6))
+        .orderBy(col("r6").desc, col("term").asc)
+        .limit(10)
+        .select(col("term"), round(col("score"), 4).as("score"))
+    }),
     // spelling suggestions (Whoosh suggest): (distance asc, df desc, term)
     "ft_suggest" -> ((s, dir) => {
       import s.implicits._
@@ -650,6 +676,24 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // batch search: three independent rank queries tagged by qid
+    "ft_search_many" -> (cte +
+      s" SELECT 't' AS qid, docid, score FROM (${rank(
+        "SELECT docid, s AS score FROM contrib WHERE term = 'spark'")}) u1" +
+      s" UNION ALL SELECT 'a' AS qid, docid, score FROM (${rank(
+        "SELECT docid, sum(s) AS score FROM contrib WHERE term IN ('merge','join')" +
+          " GROUP BY docid HAVING count(*) = 2")}) u2" +
+      s" UNION ALL SELECT 'p' AS qid, docid, score FROM (${rank(
+        s"SELECT docid, s AS score FROM ${phraseScoreSql(Seq("table" -> 0, "scan" -> 1))} ph")}) u3"),
+    // reader stats over the analyzed corpus
+    "ft_top_terms" -> (cte + CftCte +
+      " SELECT term, cf FROM cft ORDER BY cf DESC, term ASC LIMIT 10"),
+    "ft_distinctive_terms" -> (cte + CftCte +
+      """ SELECT term, round(rawscore, 4) AS score
+        | FROM (SELECT term, score AS rawscore, round(score, 6) AS r6
+        |   FROM (SELECT c.term, c.cf::DOUBLE * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) AS score
+        |         FROM cft c JOIN dft d USING (term) CROSS JOIN params p) x) y
+        | ORDER BY r6 DESC, term ASC LIMIT 10""".stripMargin.replace("\n", " ")),
     "ft_suggest" -> (cte +
       """ SELECT term, levenshtein(term, 'spask')::BIGINT AS dist, df FROM dft
         | WHERE abs(length(term) - 5) <= 2 AND levenshtein(term, 'spask') <= 2

@@ -363,6 +363,80 @@ object Searcher {
     perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
   }
 
+  /** Batch search: evaluate MANY queries in ONE Spark job — the serving-
+    * throughput shape. The measured per-job scheduling floor (~180 ms,
+    * BENCH/BASELINE.md) is paid once for the whole batch: one pruned
+    * lexicon lookup for the UNION of all queries' terms, one pruned
+    * segment scan for that union, one kernel pass per segment evaluating
+    * every query against the already-built term lists, then a per-query
+    * top-k window over the tiny (queries x segments x k) candidate set.
+    * Returns (qid, docId, score), k rows per query, same rank/tie
+    * semantics as `search`. */
+  def searchMany(spark: SparkSession, handle: IndexHandle,
+                 queries: Seq[(String, String)], k: Int = 10,
+                 prune: Boolean = true,
+                 weighting: Weighting = BM25Weighting): DataFrame = {
+    import spark.implicits._
+    val parsed: Seq[(String, Q)] = queries.map { case (qid, qs) =>
+      val q0 = QueryParser.parse(qs, chainOf = _ => handle.chain)
+      qid -> (if (q0.hasPrefix)
+        QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
+      else q0)
+    }.filterNot { case (_, q) => q == QEmpty || (q.terms.isEmpty && !q.hasEvery) }
+    if (parsed.isEmpty)
+      return spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
+
+    val allTerms = parsed.iterator.flatMap(_._2.terms).toSet
+    val dfs = termDfs(spark, handle, allTerms) // ONE pruned lookup for the batch
+    val stats = handle.stats
+    val kLocal = k
+    val pruneLocal = prune
+    val wLocal = weighting
+    val parsedLocal = parsed
+    val delRanges = handle.delRanges
+    val dirLocal = handle.indexDir
+    val perSegment = queryRows(spark, handle, allTerms, parsed.exists(_._2.hasEvery))
+      .groupByKey(_.segId)
+      .flatMapGroups { (segId, it) =>
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { r =>
+          Kernel.mergeList(lists, r.term,
+            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+        }
+        val listMap = lists.toMap
+        val deleted = tombstoneProbe(delRanges, dirLocal, segId)
+        parsedLocal.iterator.flatMap { case (qid, q) =>
+          Kernel.topK(q, listMap, stats, kLocal, pruneLocal, deleted, wLocal)
+            .iterator.map(h => (qid, h.docId, h.score))
+        }
+      }
+      .toDF("qid", "docId", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score".desc, $"docId".asc)
+    perSegment.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= kLocal).drop("rn")
+  }
+
+  /** reader stats over the lexicon ([W] whoosh/reading.py
+    * `most_frequent_terms` / `most_distinctive_terms`): top terms by
+    * collection frequency, and by cf * idf (the pinned idf form). Lexicon-
+    * sized scans; nothing touches postings. */
+  def mostFrequentTerms(spark: SparkSession, handle: IndexHandle,
+                        k: Int = 10): DataFrame =
+    handle.lexicon.select(col("term"), col("cf"))
+      .orderBy(col("cf").desc, col("term").asc).limit(k)
+
+  def mostDistinctiveTerms(spark: SparkSession, handle: IndexHandle,
+                           k: Int = 10): DataFrame = {
+    val n = handle.stats.numDocs.toDouble
+    handle.lexicon
+      .withColumn("score",
+        col("cf").cast("double") *
+          (log(lit(n) / (col("df").cast("double") + lit(1.0))) + lit(1.0)))
+      .select(col("term"), col("score"))
+      .orderBy(col("score").desc, col("term").asc).limit(k)
+  }
+
   /** Paged top-k (Q7: the reference's search_page(q, page_num, page_len),
     * default page_len 10): collect the first pageNum*pageLen hits, return
     * the requested page. */

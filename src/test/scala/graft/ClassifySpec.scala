@@ -261,6 +261,48 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     assert(got == (0L until 60L).map(_ -> 0L).toMap)
   }
 
+  test("searchMany == per-query search; reader term stats == brute force") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val queries = Seq("q1" -> "merge", "q2" -> "merge AND join",
+      "q3" -> "spark OR partition", "q4" -> "\"merge sort\"", "q5" -> "nosuchterm")
+    val batch = Searcher.searchMany(spark, handle, queries, 5)
+      .as[(String, Long, Double)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (-r._3, r._2))).toMap
+    queries.foreach { case (qid, qs) =>
+      val single = Searcher.search(spark, handle, qs, 5).collect().toSeq
+      val got = batch.getOrElse(qid, Seq.empty)
+      assert(got.map(_._2) == single.map(_.docId), s"$qid '$qs'")
+      got.zip(single).foreach { case ((_, _, s), h) =>
+        assert(math.abs(s - h.score) <= 1e-12, s"$qid")
+      }
+    }
+
+    // brute-force cf / tf-idf stats from the analyzer
+    val cfs = scala.collection.mutable.HashMap.empty[String, Long]
+    val dfs = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (_, c) =>
+      val toks = graft.analysis.Analyzer.tokenize(c)
+      toks.foreach(t => cfs.update(t.term, cfs.getOrElse(t.term, 0L) + 1L))
+      toks.map(_.term).distinct.foreach(t => dfs.update(t, dfs.getOrElse(t, 0L) + 1L))
+    }
+    val topCf = Searcher.mostFrequentTerms(spark, handle, 3)
+      .as[(String, Long)].collect().toSeq
+    val wantCf = cfs.toSeq.sortBy { case (t, c) => (-c, t) }.take(3)
+    assert(topCf == wantCf)
+    val topDistinct = Searcher.mostDistinctiveTerms(spark, handle, 3)
+      .as[(String, Double)].collect().toSeq
+    val n = docs.size.toDouble
+    val wantD = cfs.toSeq.map { case (t, c) =>
+      (t, c.toDouble * (math.log(n / (dfs(t) + 1.0)) + 1.0))
+    }.sortBy { case (t, s) => (-s, t) }.take(3)
+    assert(topDistinct.map(_._1) == wantD.map(_._1))
+    topDistinct.zip(wantD).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) <= 1e-9)
+    }
+  }
+
   test("highlights over hits: rows only for matching docs, html render pinned") {
     import spark.implicits._
     val (dir, _) = buildSmall()
