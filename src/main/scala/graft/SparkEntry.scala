@@ -487,6 +487,14 @@ object SparkEntry {
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
     }),
+    // deterministic content-addressed split/sample (train/val/test by
+    // sha256 bucket: duplicate texts land in the SAME split - no leakage)
+    "sp_split" -> ((s, dir) =>
+      graft.ops.Sampling.contentSplit(docsTable(s, dir), "doc_id", "text")
+        .select(col("id"), col("bucket").cast("long").as("bucket"), col("split"))),
+    "sp_sample" -> ((s, dir) =>
+      graft.ops.Sampling.contentSample(docsTable(s, dir), "text", 250)
+        .select(col("doc_id").cast("long").as("id"))),
     // text analysis: token counting, quality scoring, language id,
     // winnowing-style fingerprint
     "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
@@ -979,6 +987,23 @@ object SparkEntry {
         |SELECT id, round(rawsim, 4) AS sim
         |FROM (SELECT id, sim AS rawsim, round(sim, 6) AS r6 FROM r) rr
         |ORDER BY r6 DESC, id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+    // content-split: first 4 sha256 bytes of (text||salt) as a big-endian
+    // int mod 1000 (hex fold), then the per-mille thresholds
+    "sp_split" ->
+      """WITH b AS (SELECT doc_id, substr(sha256(text || 'split'), 1, 8) AS h FROM documents),
+        |v AS (SELECT doc_id,
+        |  list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
+        |    (a, x) -> a * 16 + x) % 1000 AS bucket FROM b)
+        |SELECT doc_id AS id, bucket::BIGINT AS bucket,
+        |  CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM v""".stripMargin.replace("\n", " "),
+    "sp_sample" ->
+      """WITH b AS (SELECT doc_id, substr(sha256(text || 'sample'), 1, 8) AS h FROM documents),
+        |v AS (SELECT doc_id,
+        |  list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
+        |    (a, x) -> a * 16 + x) % 1000 AS bucket FROM b)
+        |SELECT doc_id AS id FROM v WHERE bucket < 250""".stripMargin.replace("\n", " "),
     "ql_tokens" ->
       """SELECT doc_id AS id,
         | len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,

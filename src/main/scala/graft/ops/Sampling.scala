@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Both ops are pure functions of row CONTENT (sha256), not of row order,
+  * partitioning, or a driver-side RNG — so a split computed on 100 TB
+  * re-derives identically on any cluster layout, survives re-partitioning,
+  * and two near-identical pipelines agree on membership. Content
+  * addressing also means exact duplicates land in the SAME split — no
+  * train/test leakage through copies (the reason to prefer it over
+  * hash-of-id for LLM corpora).
+  *
+  * Bucketing: the first 4 bytes of sha256(text || salt) read as an
+  * unsigned big-endian int, modulo `buckets` — narrow codegen'd column
+  * expressions (sha2 / substring / conv), no UDF, no shuffle.
+  */
+object Sampling {
+
+  private def bucketCol(textCol: String, salt: String, buckets: Int) =
+    (conv(substring(sha2(concat(col(textCol), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("long") % buckets).cast("int")
+
+  /** Assign each row to "train" / "val" / "test" with the given
+    * per-mille weights (must sum to 1000). */
+  def contentSplit(df: DataFrame, idCol: String, textCol: String,
+                   trainPerMille: Int = 900, valPerMille: Int = 50,
+                   salt: String = "split"): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000 && trainPerMille >= 0 && valPerMille >= 0)
+    val b = bucketCol(textCol, salt, 1000)
+    df.select(col(idCol).cast("long").as("id"), b.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPerMille, "train")
+          .when(col("bucket") < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
+  }
+
+  /** Keep a deterministic `perMille`/1000 fraction of rows. */
+  def contentSample(df: DataFrame, textCol: String, perMille: Int,
+                    salt: String = "sample"): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000)
+    df.filter(bucketCol(textCol, salt, 1000) < perMille)
+  }
+}

@@ -226,6 +226,30 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     assert(sorted == want)
   }
 
+  // ---- deterministic sampling ----
+
+  test("contentSplit: deterministic, duplicate texts share a split, labels partition") {
+    import spark.implicits._
+    val rows = ((0 until 300).map(i => (i.toLong, s"text body number ${i % 100}")))
+      .toDF("doc_id", "text")
+    val a = graft.ops.Sampling.contentSplit(rows, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    val b = graft.ops.Sampling.contentSplit(rows, "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSeq.sortBy(_._1)
+    assert(a == b) // pure function of content
+    assert(a.size == 300)
+    // ids i, i+100, i+200 share text -> identical bucket + split (no leakage)
+    a.groupBy(_._1 % 100).values.foreach { g =>
+      assert(g.map(x => (x._2, x._3)).distinct.size == 1)
+    }
+    a.foreach { case (_, bucket, split) =>
+      assert(bucket >= 0 && bucket < 1000)
+      assert(split == (if (bucket < 900) "train" else if (bucket < 950) "val" else "test"))
+    }
+    val sampled = graft.ops.Sampling.contentSample(rows, "text", 250).count()
+    assert(sampled > 0 && sampled < 300)
+  }
+
   // ---- connected components ----
 
   private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
