@@ -62,6 +62,16 @@ object Plans {
     graft.ops.Similarity.srpTopKIndexed(spark, annDir, qv, 10, radius = 2)
       .explain("formatted")
 
+    println("==== batch search plan (ONE segment exchange for many queries, " +
+      "per-query window over the tiny candidate set) ====")
+    Searcher.searchMany(spark, handle,
+      Seq("a" -> "w0001", "b" -> "w0042 AND w0007", "c" -> "w0003 OR w0009"), 10)
+      .explain("formatted")
+
+    println("==== facet plan (kernel match pass + docId join on docstats, " +
+      "content never read) ====")
+    Searcher.facetCounts(spark, handle, "w0001", "lang").explain("formatted")
+
     spark.stop()
   }
 }

@@ -327,6 +327,38 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("new entry points degrade gracefully on garbage / empty input") {
+    import spark.implicits._
+    val (dir, _) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val corpus = spark.createDataset(smallCorpus)
+
+    // batch search: garbage queries drop out, good ones still answer
+    val res = Searcher.searchMany(spark, handle, Seq(
+      "g1" -> "AND OR (((", "g2" -> "\"unclosed", "g3" -> "", "ok" -> "merge"), 5)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(res.nonEmpty && res.forall(_._1 == "ok"))
+    assert(Searcher.searchMany(spark, handle, Seq.empty, 5).isEmpty)
+
+    // correction of garbage stays parseable; all-unknown phrase survives
+    Searcher.correctQuery(spark, handle, "NOT ((( \"")
+    Searcher.correctQuery(spark, handle, "zz1 zz2 zz3")
+
+    // empty hit sets / empty doc lists
+    assert(Searcher.facetCounts(spark, handle, "nosuchterm", "lang").isEmpty)
+    assert(Searcher.searchSortedBy(spark, handle, "nosuchterm", "path").isEmpty)
+    assert(graft.search.Highlight.highlights(spark, handle, corpus, "merge",
+      Seq.empty).isEmpty)
+    assert(graft.search.KeyTerms.forDocs(spark, handle, corpus, Seq.empty).isEmpty)
+    assert(graft.search.KeyTerms.fromText(spark, handle, "").isEmpty)
+    // moreLikeThis of a nonexistent doc: empty, no crash
+    assert(graft.search.KeyTerms.moreLikeThis(spark, handle, corpus, 999L)
+      .isEmpty)
+    // components of an empty pair set
+    assert(graft.ops.Dedup.components(
+      spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")).isEmpty)
+  }
+
   test("highlights over hits: rows only for matching docs, html render pinned") {
     import spark.implicits._
     val (dir, _) = buildSmall()
