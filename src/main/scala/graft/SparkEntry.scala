@@ -392,6 +392,23 @@ object SparkEntry {
         .limit(10)
         .select($"docId".as("docid"), round($"score", 4).as("score"))
     }),
+    // field collapsing ([W] whoosh collapse): best hit per repo, then
+    // global top-k
+    "ft_collapse" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchCollapsed(s, handle, "merge", "repo", kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), $"repo", round($"score", 4).as("score"))
+    }),
+    // matched terms per hit ([W] whoosh Results.matched_terms)
+    "ft_matched_terms" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.matchedTerms(s, handle, "merge OR join", (0L until 20L))
+    }),
     // facet counts ([W] whoosh/sorting.py groupedby): every match of the
     // query counted per stored-field value
     "ft_facet_lang" -> ((s, dir) => {
@@ -486,6 +503,16 @@ object SparkEntry {
         .orderBy($"r6".desc, $"id".asc)
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
+    }),
+    // PII-style redaction over deterministically augmented text (the
+    // synthetic corpus has no PII, so both engines inject the same
+    // email/IP/long-number suffix before scrubbing)
+    "ql_redact" -> ((s, dir) => {
+      val aug = docsTable(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"), lit("@ex"),
+          col("doc_id") % 7, lit(".com at 10.0."), col("doc_id") % 256,
+          lit(".1 id 1234567890"), col("doc_id")).as("text"))
+      TextQuality.redact(aug, "doc_id", "text")
     }),
     // deterministic content-addressed split/sample (train/val/test by
     // sha256 bucket: duplicate texts land in the SAME split - no leakage)
@@ -872,6 +899,21 @@ object SparkEntry {
       """SELECT docid, max(s) AS score FROM contrib
         | WHERE term IN ('spark','merge','join') GROUP BY docid"""
         .stripMargin.replace("\n", " "))),
+    // collapse: best 'merge' hit per repo (raw-score winner — single-term
+    // scores are arithmetic-identical across engines), then top-10
+    "ft_collapse" -> (cte +
+      """, cm AS (SELECT c.docid, c.s AS score, i.repo
+        |  FROM contrib c JOIN ids i ON i.docid = c.docid WHERE c.term = 'merge'),
+        |best AS (SELECT docid, repo, score,
+        |  row_number() OVER (PARTITION BY repo ORDER BY score DESC, docid ASC) AS rn
+        |  FROM cm)
+        |SELECT docid, repo, round(rawscore, 4) AS score
+        |FROM (SELECT docid, repo, score AS rawscore, round(score, 6) AS r6
+        |      FROM best WHERE rn = 1) b
+        |ORDER BY r6 DESC, docid ASC LIMIT 10""".stripMargin.replace("\n", " ")),
+    // matched terms: which query terms occur in each requested doc
+    "ft_matched_terms" -> (cte +
+      " SELECT docid, term FROM tf WHERE term IN ('merge','join') AND docid < 20"),
     // facet counts: every 'merge' match grouped by the stored lang field
     "ft_facet_lang" -> (cte +
       """ SELECT lang, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
@@ -987,6 +1029,17 @@ object SparkEntry {
         |SELECT id, round(rawsim, 4) AS sim
         |FROM (SELECT id, sim AS rawsim, round(sim, 6) AS r6 FROM r) rr
         |ORDER BY r6 DESC, id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+    // redaction: identical augmentation + the same RE2-safe patterns, 'g'
+    "ql_redact" ->
+      """WITH a AS (SELECT doc_id,
+        |  text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.com at 10.0.'
+        |    || (doc_id % 256) || '.1 id 1234567890' || doc_id AS t FROM documents)
+        |SELECT doc_id AS id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '[0-9]{10,}', '<NUM>', 'g') AS redacted
+        |FROM a""".stripMargin.replace("\n", " "),
     // content-split: first 4 sha256 bytes of (text||salt) as a big-endian
     // int mod 1000 (hex fold), then the per-mille thresholds
     "sp_split" ->

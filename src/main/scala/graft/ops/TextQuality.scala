@@ -84,4 +84,22 @@ object TextQuality {
       }
       .toDF("id", "fingerprint")
   }
+
+  /** PII-style redaction for corpus scrubbing: emails -> <EMAIL>, dotted
+    * IPv4s -> <IP>, 10+-digit runs -> <NUM>, applied IN THAT ORDER (so an
+    * address's digits are consumed by the email rule first). Patterns are
+    * deliberately RE2-safe (no backrefs/lookaround) so the exact semantics
+    * reproduce in the DuckDB oracle; a codegen'd regexp_replace chain, no
+    * UDF, no shuffle. */
+  def redact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val longNum = "[0-9]{10,}"
+    df.select(col(idCol).cast("long").as("id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        longNum, "<NUM>").as("redacted"))
+  }
 }

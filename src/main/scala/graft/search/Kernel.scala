@@ -213,6 +213,28 @@ object Kernel {
     }
   }
 
+  /** every match WITH its score (the collapse/grouping feed — no top-k
+    * heap; same matcher tree as allMatches, scored at each doc) */
+  def allScored(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
+                deleted: Long => Boolean = NoDeletes,
+                w: Weighting = BM25Weighting): Iterator[Hit] = {
+    val m = buildMatcher(q, lists.map { case (t, tl) =>
+      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+    }, _ => stats, w)
+    new Iterator[Hit] {
+      private def settle(): Unit =
+        while (m.docId != Long.MaxValue && deleted(m.docId)) m.advance()
+      settle()
+      def hasNext: Boolean = m.docId != Long.MaxValue
+      def next(): Hit = {
+        val h = Hit(m.docId, m.score)
+        m.advance()
+        settle()
+        h
+      }
+    }
+  }
+
   /** single-list traversal with block-max skipping */
   private def singleTerm(tm: TermMatcher, heap: TopK, deleted: Long => Boolean): Unit = {
     while (tm.docId != Long.MaxValue) {

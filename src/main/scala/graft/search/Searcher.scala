@@ -310,6 +310,97 @@ object Searcher {
       }
   }
 
+  /** every match WITH its score — the collapse/grouping feed (same pruned
+    * scan as matchingIds; no top-k heap, nothing driver-side) */
+  def scoredMatches(spark: SparkSession, handle: IndexHandle,
+                    query: String,
+                    weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
+    import spark.implicits._
+    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val q = if (q0.hasPrefix)
+      QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
+    else q0
+    val terms = q.terms
+    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
+      return spark.emptyDataset[SearchHit]
+    val dfs = termDfs(spark, handle, terms)
+    val stats = handle.stats
+    val qLocal = q
+    val wLocal = weighting
+    val delRanges = handle.delRanges
+    val dirLocal = handle.indexDir
+    queryRows(spark, handle, terms, q.hasEvery)
+      .groupByKey(_.segId)
+      .flatMapGroups { (segId, it) =>
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { r =>
+          Kernel.mergeList(lists, r.term,
+            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+        }
+        Kernel.allScored(qLocal, lists.toMap, stats,
+            tombstoneProbe(delRanges, dirLocal, segId), wLocal)
+          .map(h => SearchHit(h.docId, h.score))
+      }
+  }
+
+  /** Field collapsing ([W] whoosh/collectors.py `collapse`): only the
+    * best-scoring hit per value of a stored field survives, then the
+    * global top-k. One kernel match pass, one docId join against
+    * docstats, one window per collapse key — content never read. Ties
+    * pinned (score desc, docId asc) at both levels. */
+  def searchCollapsed(spark: SparkSession, handle: IndexHandle, query: String,
+                      field: String, k: Int = 10,
+                      weighting: Weighting = BM25Weighting): DataFrame = {
+    import spark.implicits._
+    val hits = scoredMatches(spark, handle, query, weighting).toDF()
+    val joined = spark.read.parquet(docstatsDirOf(handle))
+      .select(col("docId"), col(field))
+      .join(hits, Seq("docId"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(field)).orderBy(col("score").desc, col("docId").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+
+  /** Which of the query's terms matched each of the given docs ([W]
+    * whoosh Results.matched_terms, the `terms=True` surface): one pruned
+    * scan of the query terms' posting rows, then a forward cursor probe of
+    * the (sorted, <=k) requested ids per segment — bounded by
+    * |terms| x segments rows, nothing corpus-sized. Returns (docid, term)
+    * pairs; multiterm nodes expand first, so `s*` reports the concrete
+    * matched expansions. */
+  def matchedTerms(spark: SparkSession, handle: IndexHandle, query: String,
+                   docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val q = if (q0.hasPrefix)
+      QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
+    else q0
+    val terms = q.terms
+    if (terms.isEmpty || docIds.isEmpty)
+      return spark.emptyDataset[(Long, String)].toDF("docid", "term")
+    val ids = docIds.distinct.sorted.toArray
+    queryRows(spark, handle, terms, needEvery = false)
+      .groupByKey(_.segId)
+      .flatMapGroups { (_, it) =>
+        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+        it.foreach { r =>
+          Kernel.mergeList(lists, r.term,
+            Kernel.TermList(r.blocks, r.maxTf, r.df.toLong))
+        }
+        lists.iterator.flatMap { case (term, tl) =>
+          val cur = new graft.codec.PostingsCodec.TermCursor(tl.bytes)
+          ids.iterator.flatMap { id =>
+            cur.skipTo(id)
+            if (cur.docId == id) Some((id, term)) else None
+          }
+        }
+      }
+      .toDF("docid", "term")
+  }
+
   /** top-k hits as a Dataset (k rows), rank-identical to RefModel.
     * `weighting` selects the scoring model (reference surface:
     * search_documents(..., weighting=...); BM25 is the pinned default). */

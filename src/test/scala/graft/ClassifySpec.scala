@@ -327,6 +327,45 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("searchCollapsed, matchedTerms, redact == brute force") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+
+    // collapse by lang is trivial (one group); collapse by repo: all in r0,
+    // so exactly ONE survivor — the best 'merge' hit overall
+    val collapsed = Searcher.searchCollapsed(spark, handle, "merge", "repo", 10)
+      .select($"docId", $"repo", $"score")
+      .as[(Long, String, Double)].collect().toSeq
+    val best = Searcher.search(spark, handle, "merge", 1).collect().head
+    assert(collapsed == Seq((best.docId, "r0", best.score)))
+
+    // scoredMatches == exhaustive search scores
+    val sm = Searcher.scoredMatches(spark, handle, "merge")
+      .collect().toSeq.sortBy(_.docId)
+    val all = Searcher.search(spark, handle, "merge", 100)
+      .collect().toSeq.sortBy(_.docId)
+    assert(sm.map(_.docId) == all.map(_.docId))
+    sm.zip(all).foreach { case (a, b) => assert(math.abs(a.score - b.score) <= 1e-12) }
+
+    // matched terms vs the analyzer
+    val mt = Searcher.matchedTerms(spark, handle, "merge OR join", docs.map(_._1))
+      .as[(Long, String)].collect().toSet
+    val want = (for {
+      (id, c) <- docs
+      t <- graft.analysis.Analyzer.tokenize(c).map(_.term).distinct
+      if t == "merge" || t == "join"
+    } yield (id, t)).toSet
+    assert(mt == want)
+
+    // redaction
+    val red = graft.ops.TextQuality.redact(
+      Seq((1L, "mail a.b@x.io or c@sub.example.com ip 10.1.2.3 card 12345678901 ok 123"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    assert(red == "mail <EMAIL> or <EMAIL> ip <IP> card <NUM> ok 123")
+  }
+
   test("new entry points degrade gracefully on garbage / empty input") {
     import spark.implicits._
     val (dir, _) = buildSmall()
