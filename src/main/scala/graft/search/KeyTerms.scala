@@ -65,13 +65,36 @@ object KeyTerms {
     }.toSeq.sortBy { case (t, s) => (-s, t) }.take(numTerms)
   }
 
-  /** Whoosh `Searcher.key_terms(docnums, ...)`: Bo1 key terms of a doc set,
-    * computed relationally (the doc set may be arbitrarily large — e.g.
-    * every doc matching a filter). Returns (term, score) top `numTerms`. */
+  /** Whoosh `Searcher.key_terms(docnums, ...)`: Bo1 key terms of a doc set.
+    * Driver-held id lists go through the small-set overload below; this
+    * Dataset form is the scale path — the doc set may be arbitrarily large
+    * (e.g. `Searcher.matchingIds` output), joined relationally, never a
+    * Catalyst IN-literal. Returns (term, score) top `numTerms`. */
+  def forDocs(spark: SparkSession, handle: Searcher.IndexHandle,
+              corpus: Dataset[CorpusRow], docIds: Dataset[java.lang.Long],
+              numTerms: Int): DataFrame = {
+    import spark.implicits._
+    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .join(docIds.toDF("docId"), Seq("docId"))
+      .select("repo", "path", "commit")
+    val chain = handle.chain
+    val weights = corpus.toDF()
+      .join(keys, Seq("repo", "path", "commit"))
+      .select($"content").as[String]
+      .flatMap(c => chain.tokenize(c).iterator.map(_.term))
+      .groupBy($"value".as("term"))
+      .agg(count(lit(1)).cast("double").as("wt"))
+    scoreWeights(handle, weights, numTerms)
+  }
+
+  /** small driver-held id sets (hit lists): pruned pushed-IN docstats
+    * lookup + broadcast of the <=|ids| keys */
   def forDocs(spark: SparkSession, handle: Searcher.IndexHandle,
               corpus: Dataset[CorpusRow], docIds: Seq[Long],
               numTerms: Int = 5): DataFrame = {
     import spark.implicits._
+    require(docIds.size <= 100000,
+      "driver-held id list too large - pass a Dataset[java.lang.Long] instead")
     val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
       .filter(col("docId").isin(docIds: _*))
       .select("repo", "path", "commit")

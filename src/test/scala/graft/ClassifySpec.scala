@@ -154,10 +154,15 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
       .collect().toMap
     assert(got == want.toMap)
 
-    // forDocs on a single doc == fromText on its content (same scores)
+    // forDocs on a single doc == fromText on its content (same scores);
+    // the Dataset (scale-path) overload must agree with the Seq form
     val corpus = spark.createDataset(smallCorpus)
     val viaDf = KeyTerms.forDocs(spark, handle, corpus, Seq(1L), 100)
       .as[(String, Double)].collect().toSeq
+    val viaDs = KeyTerms.forDocs(spark, handle, corpus,
+        spark.createDataset(Seq(java.lang.Long.valueOf(1L))), 100)
+      .as[(String, Double)].collect().toSeq
+    assert(viaDs == viaDf)
     val viaText = KeyTerms.fromText(spark, handle, docs(1)._2, 100)
     assert(viaDf.toMap.keySet == viaText.toMap.keySet)
     viaText.foreach { case (t, s) =>
