@@ -300,6 +300,9 @@ object SparkEntry {
     // Whoosh TF_IDF = tf * idf, length-independent
     "ft_topk_tfidf" -> ((s, dir) =>
       topk(s, dir, "spark OR merge", graft.search.TfIdfWeighting)),
+    // Whoosh Frequency weighting: score = raw tf (idf = 1, boost only)
+    "ft_topk_freq" -> ((s, dir) =>
+      topk(s, dir, "spark OR merge^2", graft.search.FrequencyWeighting)),
     // match-all (Whoosh Every) via top-level pure negation: "NOT spark" ==
     // Every NOT spark, constant score 1.0, ties break by docid
     "ft_topk_every" -> ((s, dir) => topk(s, dir, "NOT spark")),
@@ -774,6 +777,13 @@ object SparkEntry {
         | FROM tf f JOIN dft d USING (term) CROSS JOIN params p
         | WHERE f.term IN ('spark','merge') GROUP BY f.docid"""
         .stripMargin.replace("\n", " "))),
+    // Frequency weighting: per-term contribution = boost * tf
+    "ft_topk_freq" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |  SELECT docid, (1.0 * tf)::DOUBLE AS s FROM tf WHERE term = 'spark'
+        |  UNION ALL
+        |  SELECT docid, (2.0 * tf)::DOUBLE AS s FROM tf WHERE term = 'merge'
+        |) u GROUP BY docid""".stripMargin.replace("\n", " "))),
     "ft_topk_boost" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM (
         |  SELECT f.docid, (2.0 * (ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0)) * (f.tf * 2.2)
