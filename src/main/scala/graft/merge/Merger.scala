@@ -214,6 +214,12 @@ object Merger {
     * `groupSize` until one segment remains (reference `optimize_index`).
     * With `applyDeletes`, the index's tombstone set is purged during the
     * merge and cleared once fully compacted (M2). */
+  /** Whoosh `writer.optimize()` / the reference's optimize endpoint
+    * ([R] cockatrice optimize): hierarchically compact the whole index to
+    * ONE segment, physically purging tombstones and refreshing stats. */
+  def optimize(spark: SparkSession, indexDir: String): Unit =
+    compact(spark, indexDir, applyDeletes = true)
+
   def compact(spark: SparkSession, indexDir: String, groupSize: Int = 8,
               applyDeletes: Boolean = false): Unit = {
     require(groupSize >= 2)

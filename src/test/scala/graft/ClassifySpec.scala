@@ -371,6 +371,27 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     assert(red == "mail <EMAIL> or <EMAIL> ip <IP> card <NUM> ok 123")
   }
 
+  test("index admin lifecycle: exists / stats / optimize / delete") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("admin") + "/ix"
+    assert(!graft.build.IndexAdmin.exists(spark, dir))
+    IndexBuilder.build(spark, spark.createDataset(smallCorpus), dir,
+      IndexConfig(segSize = 2))
+    assert(graft.build.IndexAdmin.exists(spark, dir))
+    val st0 = graft.build.IndexAdmin.stats(spark, dir)
+    assert(st0.numDocs == 6 && st0.numSegments == 3)
+    // optimize == compact-to-one-segment with purge
+    graft.build.Deletes.add(spark, dir, Seq(0L))
+    graft.merge.Merger.optimize(spark, dir)
+    val st1 = graft.build.IndexAdmin.stats(spark, dir)
+    assert(st1.numSegments == 1 && st1.numDocs == 5)
+    val handle = Searcher.open(spark, dir)
+    assert(!Searcher.search(spark, handle, "merge", 10).collect()
+      .exists(_.docId == 0L))
+    assert(graft.build.IndexAdmin.delete(spark, dir))
+    assert(!graft.build.IndexAdmin.exists(spark, dir))
+  }
+
   test("new entry points degrade gracefully on garbage / empty input") {
     import spark.implicits._
     val (dir, _) = buildSmall()
