@@ -274,7 +274,10 @@ final class Chain(val spec: AnalyzerSpec) extends Serializable {
         ts.foreach { t => Chain.splitIntraWord(t.term, p => out += Token(p, t.pos)) }
         out
       case SubstitutionF(p, r) =>
-        val re = java.util.regex.Pattern.compile(p)
+        // memoized: schema specs hold a handful of distinct patterns, but
+        // this runs once per document — recompiling here would be pure
+        // wasted CPU on the build's hottest loop
+        val re = Chain.compiledPattern(p)
         ts.flatMap { t =>
           val s = re.matcher(t.term).replaceAll(r)
           if (s.isEmpty) None else Some(t.copy(term = s))
@@ -286,6 +289,11 @@ final class Chain(val spec: AnalyzerSpec) extends Serializable {
 
 object Chain {
   val Standard = new Chain(AnalyzerSpec.Standard)
+
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+  private[analysis] def compiledPattern(p: String): java.util.regex.Pattern =
+    patternCache.computeIfAbsent(p, java.util.regex.Pattern.compile(_))
 
   /** emit the intra-word parts of `w` (IntraWordF): boundaries at
     * lower->Upper case transitions, alpha<->digit transitions, and

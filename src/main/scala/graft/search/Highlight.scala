@@ -89,16 +89,20 @@ object Highlight {
   }
 
   /** fragments for a set of hit docIds: (docId, frag, start_pos, end_pos,
-    * matches, fragment). `query` is analyzed with the handle's chain; all
-    * its positive terms highlight (multiterm nodes expand first via the
-    * searcher when present in `terms`). Docs with no match emit no rows. */
+    * matches, fragment). `query` is analyzed with the handle's chain;
+    * multiterm nodes expand against the lexicon first, then only the
+    * POSITIVE branches' terms highlight (a NOT's negative side never causes
+    * a match, so it must not be bolded). Docs with no match emit no rows. */
   def highlights(spark: SparkSession, handle: Searcher.IndexHandle,
                  corpus: Dataset[CorpusRow], query: String, docIds: Seq[Long],
                  surround: Int = 3, maxFrags: Int = 2): DataFrame = {
     import spark.implicits._
-    val q = QueryParser.parse(query, chainOf = _ => handle.chain)
-    val terms = q.terms
-    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
+    val q = if (q0.hasPrefix)
+      QueryRewrite.expandPrefixes(q0, mq => Searcher.scanMulti(spark, handle, mq))
+    else q0
+    val terms = q.positiveTerms
+    val keys = Searcher.liveDocstats(spark, handle)
       .filter(col("docId").isin(docIds: _*))
       .select("docId", "repo", "path", "commit")
     val sLocal = surround

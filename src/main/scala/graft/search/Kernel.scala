@@ -154,7 +154,8 @@ object Kernel {
            w: Weighting = BM25Weighting): Array[Hit] =
     topKMulti(q, lists.map { case (t, tl) =>
       // the all-docs pseudo list keys under the EMPTY field (bare `*`)
-      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+      (if (t.startsWith(Q.EveryTerm)) key(t.substring(Q.EveryTerm.length), Q.EveryTerm)
+       else key(Q.DefaultField, t)) -> tl
     }, _ => stats, k, prune, deleted, w)
 
   /** Segment top-k over field-keyed lists. `prune = false` forces
@@ -194,7 +195,8 @@ object Kernel {
   def allMatches(q: Q, lists: Map[String, TermList], stats: BM25.CorpusStats,
                  deleted: Long => Boolean = NoDeletes): Iterator[Long] = {
     val m = buildMatcher(q, lists.map { case (t, tl) =>
-      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+      (if (t.startsWith(Q.EveryTerm)) key(t.substring(Q.EveryTerm.length), Q.EveryTerm)
+       else key(Q.DefaultField, t)) -> tl
     }, _ => stats)
     new Iterator[Long] {
       private var cur = settle(m.docId)
@@ -219,7 +221,8 @@ object Kernel {
                 deleted: Long => Boolean = NoDeletes,
                 w: Weighting = BM25Weighting): Iterator[Hit] = {
     val m = buildMatcher(q, lists.map { case (t, tl) =>
-      (if (t == Q.EveryTerm) key("", t) else key(Q.DefaultField, t)) -> tl
+      (if (t.startsWith(Q.EveryTerm)) key(t.substring(Q.EveryTerm.length), Q.EveryTerm)
+       else key(Q.DefaultField, t)) -> tl
     }, _ => stats, w)
     new Iterator[Hit] {
       private def settle(): Unit =

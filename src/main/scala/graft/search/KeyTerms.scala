@@ -74,7 +74,7 @@ object KeyTerms {
               corpus: Dataset[CorpusRow], docIds: Dataset[java.lang.Long],
               numTerms: Int): DataFrame = {
     import spark.implicits._
-    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val keys = Searcher.liveDocstats(spark, handle)
       .join(docIds.toDF("docId"), Seq("docId"))
       .select("repo", "path", "commit")
     val chain = handle.chain
@@ -95,7 +95,7 @@ object KeyTerms {
     import spark.implicits._
     require(docIds.size <= 100000,
       "driver-held id list too large - pass a Dataset[java.lang.Long] instead")
-    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val keys = Searcher.liveDocstats(spark, handle)
       .filter(col("docId").isin(docIds: _*))
       .select("repo", "path", "commit")
     val chain = handle.chain
@@ -132,7 +132,7 @@ object KeyTerms {
                         corpus: Dataset[CorpusRow], docId: Long,
                         numTerms: Int = 5): Q = {
     import spark.implicits._
-    val keys = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val keys = Searcher.liveDocstats(spark, handle)
       .filter(col("docId") === docId)
       .select("repo", "path", "commit")
     val texts = corpus.toDF()

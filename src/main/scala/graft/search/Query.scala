@@ -28,6 +28,21 @@ sealed trait Q extends Serializable {
     case _: QEvery         => Set.empty
     case QEmpty            => Set.empty
   }
+  /** leaf terms on POSITIVE branches only — what highlighting and
+    * matched-terms report: a NOT's negative side never causes a match, so
+    * its terms must not be bolded in docs the positive side matched.
+    * REQUIRE's filter side does occur in every match, so it stays. */
+  def positiveFieldTerms: Set[(String, String)] = this match {
+    case QNot(p, _)        => p.positiveFieldTerms
+    case QPureNot(_)       => Set.empty
+    case QAnd(cs)          => cs.flatMap(_.positiveFieldTerms).toSet
+    case QOr(cs)           => cs.flatMap(_.positiveFieldTerms).toSet
+    case QDisMax(cs, _)    => cs.flatMap(_.positiveFieldTerms).toSet
+    case QAndMaybe(p, m)   => p.positiveFieldTerms ++ m.positiveFieldTerms
+    case QRequire(p, f)    => p.positiveFieldTerms ++ f.positiveFieldTerms
+    case other             => other.fieldTerms
+  }
+  def positiveTerms: Set[String] = positiveFieldTerms.map(_._2)
   def hasPrefix: Boolean = this match {
     case _: QMulti       => true
     case QAnd(cs)        => cs.exists(_.hasPrefix)

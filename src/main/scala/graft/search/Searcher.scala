@@ -213,13 +213,23 @@ object Searcher {
     * match-all pseudo list when the query needs one (QEvery). */
   private[search] def queryRows(spark: SparkSession, handle: IndexHandle,
                                 terms: Set[String],
-                                needEvery: Boolean): Dataset[SegRead] = {
+                                everyFields: Set[String]): Dataset[SegRead] = {
     import spark.implicits._
     val rows0 = handle.segments
       .filter($"term".isin(terms.toSeq: _*))
       .select($"term", $"df", $"maxTf", $"blocks", $"segId")
       .as[SegRead]
-    if (!needEvery) rows0 else rows0.unionByName(everyRows(spark, handle))
+    // match-all pseudo lists per required Every scope: "" = all docs
+    // (bare `*`); the default field = docs where it has a value (pushed
+    // rawLen > 0), keyed under EveryTerm + field so the kernel scopes it;
+    // any OTHER field ships nothing -> EmptyMatcher (RefModel: None)
+    everyFields.toSeq.sorted.foldLeft(rows0) {
+      case (acc, "") => acc.unionByName(everyRows(spark, handle))
+      case (acc, f) if f == Q.DefaultField =>
+        acc.unionByName(everyRows(spark, handle, onlyNonEmpty = true,
+          pseudoTerm = Q.EveryTerm + f))
+      case (acc, _) => acc
+    }
   }
 
   /** The match-all pseudo posting list under the reserved term Q.EveryTerm:
@@ -231,7 +241,8 @@ object Searcher {
     * and the kernel k-way-merges duplicate rows of a term (the runs of a
     * segment split across scan partitions). */
   private[search] def everyRows(spark: SparkSession, handle: IndexHandle,
-                                onlyNonEmpty: Boolean = false): Dataset[SegRead] = {
+                                onlyNonEmpty: Boolean = false,
+                                pseudoTerm: String = Q.EveryTerm): Dataset[SegRead] = {
     import spark.implicits._
     val base = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
       .filter(col("segId").isin(handle.liveSegIds: _*))
@@ -257,7 +268,7 @@ object Searcher {
           val enc = new graft.codec.PostingsCodec.Encoder
           arr.foreach { case (d, lb) => enc.add(d, 1, lb, p0) }
           val e = enc.finish()
-          out += SegRead(Q.EveryTerm, e.df, e.maxTf, e.bytes, segId)
+          out += SegRead(pseudoTerm, e.df, e.maxTf, e.bytes, segId)
         }
         out.iterator
       }
@@ -279,25 +290,33 @@ object Searcher {
         id => java.util.Arrays.binarySearch(tomb, id) >= 0
     }
 
-  /** ALL docIds matching a query — the delete-by-query feed: same pruned
-    * scan and per-segment kernel as searchQ, but every match is emitted
-    * (no top-k heap, no global sort, nothing driver-side). */
-  def matchingIds(spark: SparkSession, handle: IndexHandle,
-                  query: String): Dataset[Long] = {
-    import spark.implicits._
+  /** Shared query-entry scaffold (round-3 self-review: four near-identical
+    * copies had started to drift): parse with the handle's chain, expand
+    * multiterm nodes against the lexicon, and apply the Every-aware
+    * emptiness rule. None = the query can match nothing. */
+  private def expandedQuery(spark: SparkSession, handle: IndexHandle,
+                            query: String): Option[Q] = {
     val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
     val q = if (q0.hasPrefix)
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
-    val terms = q.terms
-    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
-      return spark.emptyDataset[Long]
-    val dfs = termDfs(spark, handle, terms)
-    val stats = handle.stats
-    val qLocal = q
+    if (q == QEmpty || (q.terms.isEmpty && !q.hasEvery)) None else Some(q)
+  }
+
+  /** Shared per-segment kernel runner: one pruned scan for `terms` (+ the
+    * required Every pseudo lists), one groupByKey(segId), the kernel list
+    * map k-way-merged, the executor-side tombstone probe built — then `f`
+    * produces the segment's output rows. Captures only plain locals (never
+    * the handle) so the closure stays serialization-clean. */
+  private def perSegmentKernel[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, handle: IndexHandle, terms: Set[String],
+      everyFields: Set[String], dfs: Map[String, Long])(
+      f: (Map[String, Kernel.TermList], Long => Boolean) => Iterator[T]): Dataset[T] = {
+    import spark.implicits._
     val delRanges = handle.delRanges
     val dirLocal = handle.indexDir
-    queryRows(spark, handle, terms, q.hasEvery)
+    val fLocal = f
+    queryRows(spark, handle, terms, everyFields)
       .groupByKey(_.segId)
       .flatMapGroups { (segId, it) =>
         val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
@@ -305,9 +324,25 @@ object Searcher {
           Kernel.mergeList(lists, r.term,
             Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
         }
-        Kernel.allMatches(qLocal, lists.toMap, stats,
-          tombstoneProbe(delRanges, dirLocal, segId))
+        fLocal(lists.toMap, tombstoneProbe(delRanges, dirLocal, segId))
       }
+  }
+
+  /** ALL docIds matching a query — the delete-by-query feed: same pruned
+    * scan and per-segment kernel as searchQ, but every match is emitted
+    * (no top-k heap, no global sort, nothing driver-side). */
+  def matchingIds(spark: SparkSession, handle: IndexHandle,
+                  query: String): Dataset[Long] = {
+    import spark.implicits._
+    expandedQuery(spark, handle, query) match {
+      case None => spark.emptyDataset[Long]
+      case Some(q) =>
+        val dfs = termDfs(spark, handle, q.terms)
+        val stats = handle.stats
+        perSegmentKernel[Long](spark, handle, q.terms, q.everyFields, dfs) {
+          (lists, deleted) => Kernel.allMatches(q, lists, stats, deleted)
+        }
+    }
   }
 
   /** every match WITH its score — the collapse/grouping feed (same pruned
@@ -316,31 +351,18 @@ object Searcher {
                     query: String,
                     weighting: Weighting = BM25Weighting): Dataset[SearchHit] = {
     import spark.implicits._
-    val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
-    val q = if (q0.hasPrefix)
-      QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
-    else q0
-    val terms = q.terms
-    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
-      return spark.emptyDataset[SearchHit]
-    val dfs = termDfs(spark, handle, terms)
-    val stats = handle.stats
-    val qLocal = q
-    val wLocal = weighting
-    val delRanges = handle.delRanges
-    val dirLocal = handle.indexDir
-    queryRows(spark, handle, terms, q.hasEvery)
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-        it.foreach { r =>
-          Kernel.mergeList(lists, r.term,
-            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+    expandedQuery(spark, handle, query) match {
+      case None => spark.emptyDataset[SearchHit]
+      case Some(q) =>
+        val dfs = termDfs(spark, handle, q.terms)
+        val stats = handle.stats
+        val w = weighting
+        perSegmentKernel[SearchHit](spark, handle, q.terms, q.everyFields, dfs) {
+          (lists, deleted) =>
+            Kernel.allScored(q, lists, stats, deleted, w)
+              .map(h => SearchHit(h.docId, h.score))
         }
-        Kernel.allScored(qLocal, lists.toMap, stats,
-            tombstoneProbe(delRanges, dirLocal, segId), wLocal)
-          .map(h => SearchHit(h.docId, h.score))
-      }
+    }
   }
 
   /** Field collapsing ([W] whoosh/collectors.py `collapse`): only the
@@ -353,7 +375,7 @@ object Searcher {
                       weighting: Weighting = BM25Weighting): DataFrame = {
     import spark.implicits._
     val hits = scoredMatches(spark, handle, query, weighting).toDF()
-    val joined = spark.read.parquet(docstatsDirOf(handle))
+    val joined = liveDocstats(spark, handle)
       .select(col("docId"), col(field))
       .join(hits, Seq("docId"))
     val w = org.apache.spark.sql.expressions.Window
@@ -378,18 +400,13 @@ object Searcher {
     val q = if (q0.hasPrefix)
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
-    val terms = q.terms
+    // positive branches only: a NOT's negative side never causes a match
+    val terms = q.positiveTerms
     if (terms.isEmpty || docIds.isEmpty)
       return spark.emptyDataset[(Long, String)].toDF("docid", "term")
     val ids = docIds.distinct.sorted.toArray
-    queryRows(spark, handle, terms, needEvery = false)
-      .groupByKey(_.segId)
-      .flatMapGroups { (_, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-        it.foreach { r =>
-          Kernel.mergeList(lists, r.term,
-            Kernel.TermList(r.blocks, r.maxTf, r.df.toLong))
-        }
+    perSegmentKernel[(Long, String)](spark, handle, terms, Set.empty, Map.empty) {
+      (lists, _) =>
         lists.iterator.flatMap { case (term, tl) =>
           val cur = new graft.codec.PostingsCodec.TermCursor(tl.bytes)
           ids.iterator.flatMap { id =>
@@ -397,7 +414,7 @@ object Searcher {
             if (cur.docId == id) Some((id, term)) else None
           }
         }
-      }
+    }
       .toDF("docid", "term")
   }
 
@@ -421,34 +438,21 @@ object Searcher {
     val q = if (q0.hasPrefix)
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
-    val terms = q.terms
-    if (q == QEmpty || (terms.isEmpty && !q.hasEvery))
+    if (q == QEmpty || (q.terms.isEmpty && !q.hasEvery))
       return spark.emptyDataset[SearchHit]
-
-    val dfs = termDfs(spark, handle, terms)
+    val dfs = termDfs(spark, handle, q.terms)
     val stats = handle.stats
     val kLocal = k
     val pruneLocal = prune
-    val qLocal = q
     val wLocal = weighting
-    val delRanges = handle.delRanges
-    val dirLocal = handle.indexDir
-
-    val perSegment = queryRows(spark, handle, terms, q.hasEvery)
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-        it.foreach { r =>
-          Kernel.mergeList(lists, r.term,
-            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
-        }
-        // tombstones load INSIDE the kernel, each file bounded by segSize
-        // entries — no tombstone set ever rides the driver or the closure
-        val deleted = tombstoneProbe(delRanges, dirLocal, segId)
-        Kernel.topK(qLocal, lists.toMap, stats, kLocal, pruneLocal, deleted, wLocal)
-          .iterator.map(h => SearchHit(h.docId, h.score))
+    // tombstones load INSIDE the kernel (perSegmentKernel), each file
+    // bounded by segSize entries — no tombstone set rides the driver
+    val perSegment =
+      perSegmentKernel[SearchHit](spark, handle, q.terms, q.everyFields, dfs) {
+        (lists, deleted) =>
+          Kernel.topK(q, lists, stats, kLocal, pruneLocal, deleted, wLocal)
+            .iterator.map(h => SearchHit(h.docId, h.score))
       }
-
     // global top-k: Catalyst plans TakeOrderedAndProject over the tiny
     // per-segment candidate set
     perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
@@ -468,12 +472,9 @@ object Searcher {
                  prune: Boolean = true,
                  weighting: Weighting = BM25Weighting): DataFrame = {
     import spark.implicits._
-    val parsed: Seq[(String, Q)] = queries.map { case (qid, qs) =>
-      val q0 = QueryParser.parse(qs, chainOf = _ => handle.chain)
-      qid -> (if (q0.hasPrefix)
-        QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
-      else q0)
-    }.filterNot { case (_, q) => q == QEmpty || (q.terms.isEmpty && !q.hasEvery) }
+    val parsed: Seq[(String, Q)] = queries.flatMap { case (qid, qs) =>
+      expandedQuery(spark, handle, qs).map(qid -> _)
+    }
     if (parsed.isEmpty)
       return spark.emptyDataset[(String, Long, Double)].toDF("qid", "docId", "score")
 
@@ -484,23 +485,14 @@ object Searcher {
     val pruneLocal = prune
     val wLocal = weighting
     val parsedLocal = parsed
-    val delRanges = handle.delRanges
-    val dirLocal = handle.indexDir
-    val perSegment = queryRows(spark, handle, allTerms, parsed.exists(_._2.hasEvery))
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-        it.foreach { r =>
-          Kernel.mergeList(lists, r.term,
-            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
-        }
-        val listMap = lists.toMap
-        val deleted = tombstoneProbe(delRanges, dirLocal, segId)
+    val perSegment = perSegmentKernel[(String, Long, Double)](spark, handle,
+      allTerms, parsed.iterator.flatMap(_._2.everyFields).toSet, dfs) {
+      (lists, deleted) =>
         parsedLocal.iterator.flatMap { case (qid, q) =>
-          Kernel.topK(q, listMap, stats, kLocal, pruneLocal, deleted, wLocal)
+          Kernel.topK(q, lists, stats, kLocal, pruneLocal, deleted, wLocal)
             .iterator.map(h => (qid, h.docId, h.score))
         }
-      }
+    }
       .toDF("qid", "docId", "score")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"qid").orderBy($"score".desc, $"docId".asc)
@@ -549,7 +541,7 @@ object Searcher {
   def facetCounts(spark: SparkSession, handle: IndexHandle, query: String,
                   field: String): DataFrame = {
     val ids = matchingIds(spark, handle, query).toDF("docId")
-    spark.read.parquet(docstatsDirOf(handle))
+    liveDocstats(spark, handle)
       .join(ids, Seq("docId"))
       .groupBy(col(field))
       .agg(count(lit(1)).as("count"))
@@ -563,7 +555,7 @@ object Searcher {
                      field: String, asc: Boolean = true, k: Int = 10): DataFrame = {
     val ids = matchingIds(spark, handle, query).toDF("docId")
     val key = if (asc) col(field).asc else col(field).desc
-    spark.read.parquet(docstatsDirOf(handle))
+    liveDocstats(spark, handle)
       .join(ids, Seq("docId"))
       .select(col("docId"), col(field))
       .orderBy(key, col("docId").asc)
@@ -572,6 +564,15 @@ object Searcher {
 
   private def docstatsDirOf(handle: IndexHandle): String =
     IndexBuilder.docstatsDir(handle.indexDir)
+
+  /** the docstats sidecar restricted to LIVE-manifest segments: a crashed
+    * merge can leave superseded segId dirs behind until the next GC, and an
+    * unfiltered read would double-count their docs (same defense as the
+    * segments read in open() and everyRows) */
+  private[search] def liveDocstats(spark: SparkSession,
+                                   handle: IndexHandle): DataFrame =
+    spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+      .filter(col("segId").isin(handle.liveSegIds: _*))
 
   /** S4 as an API: the reference's `get_document(id)` point lookup —
     * stored fields for explicit docIds. One pruned docstats scan: the
@@ -592,7 +593,7 @@ object Searcher {
           rangeIds.filter(id => java.util.Arrays.binarySearch(tomb, id) < 0)
         }.toSeq
       }
-    spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    liveDocstats(spark, handle)
       .select("docId", "repo", "path", "commit", "lang", "sha", "rawLen")
       .filter(col("docId").isin(live: _*))
   }
@@ -602,7 +603,7 @@ object Searcher {
   def searchWithFields(spark: SparkSession, handle: IndexHandle, query: String,
                        k: Int = 10): DataFrame = {
     val hits = search(spark, handle, query, k).toDF()
-    val docstats = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
+    val docstats = liveDocstats(spark, handle)
       .select("docId", "repo", "path", "commit", "lang", "sha")
     docstats.join(broadcast(hits), Seq("docId"), "inner")
       .orderBy(col("score").desc, col("docId").asc)

@@ -371,6 +371,56 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     assert(red == "mail <EMAIL> or <EMAIL> ip <IP> card <NUM> ok 123")
   }
 
+  test("field-scoped Every in the single-field searcher (content:*)") {
+    import spark.implicits._
+    val rows = Seq(
+      CorpusRow("r0", "a.txt", "0" * 40, "text", "spark merge join"),
+      CorpusRow("r0", "b.txt", "1" * 40, "text", "a"), // analyzes to nothing
+      CorpusRow("r0", "c.txt", "2" * 40, "text", "merge sort"))
+    val dir = SparkTestBase.tmpDir("fse")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 2))
+    val handle = Searcher.open(spark, dir)
+    val docs = rows.sortBy(r => (r.repo, r.path, r.commit)).zipWithIndex
+      .map { case (r, i) => (i.toLong, r.content) }
+    val ref = new RefModel(docs)
+    for (qs <- Seq("*", "content:*", "content:* NOT merge", "path:*",
+      "merge OR content:*^0.5")) {
+      val hits = Searcher.search(spark, handle, qs, 10).collect().toSeq
+      val want = ref.search(qs, 10)
+      assert(hits.map(_.docId) == want.map(_._1), s"'$qs': got $hits want $want")
+      hits.zip(want).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-9, s"'$qs'")
+      }
+    }
+    // bare * sees the empty doc; content:* does not
+    assert(Searcher.matchingIds(spark, handle, "*").collect().toSet ==
+      Set(0L, 1L, 2L))
+    assert(Searcher.matchingIds(spark, handle, "content:*").collect().toSet ==
+      Set(0L, 2L))
+  }
+
+  test("highlight/matchedTerms: NOT branches excluded, multiterms expanded") {
+    import spark.implicits._
+    val (dir, docs) = buildSmall()
+    val handle = Searcher.open(spark, dir)
+    val corpus = spark.createDataset(smallCorpus)
+    // doc 0 contains both merge and join; NOT side must not be bolded
+    val frags = graft.search.Highlight.highlights(spark, handle, corpus,
+      "merge NOT shuffle", (0L until 6L), surround = 10, maxFrags = 1)
+      .select($"fragment").as[String].collect()
+    assert(frags.nonEmpty)
+    assert(frags.forall(f => f.contains("<b>merge</b>") && !f.contains("<b>shuffle</b>")))
+    // prefix queries highlight their concrete expansions
+    val pf = graft.search.Highlight.highlights(spark, handle, corpus,
+      "mer*", (0L until 6L), surround = 0, maxFrags = 5)
+      .select($"fragment").as[String].collect()
+    assert(pf.nonEmpty && pf.forall(_ == "<b>merge</b>"))
+    // matchedTerms likewise: positive only, expansions reported
+    val mt = Searcher.matchedTerms(spark, handle, "mer* NOT join", docs.map(_._1))
+      .as[(Long, String)].collect().toSet
+    assert(mt.nonEmpty && mt.forall(_._2 == "merge"))
+  }
+
   test("index admin lifecycle: exists / stats / optimize / delete") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("admin") + "/ix"
