@@ -484,8 +484,16 @@ object IndexBuilder {
     val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    overwriteRename(fs, tmp, dst)
+  }
+
+  /** OVERWRITING rename (same pattern as Deletes.writeRange): a
+    * delete-then-rename pair leaves a crash window with NO file at the
+    * destination — for a manifest that window silently un-commits the
+    * segment; for stats.json it bricks Searcher.open until a rebuild. */
+  private def overwriteRename(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Live manifests: all on-disk manifests minus superseded ones. A merge
@@ -536,8 +544,7 @@ object IndexBuilder {
     val out = fs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    overwriteRename(fs, tmp, dst)
   }
 
   def readStats(fs: FileSystem, indexDir: String): IndexStats = {

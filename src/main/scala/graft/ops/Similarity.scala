@@ -160,7 +160,8 @@ object Similarity {
     * vectors are assigned to the nearest of `nLists` centroids fit by a
     * small distributed k-means (deterministic seeded init: the nLists rows
     * with the smallest id hashes; `iters` Lloyd rounds of broadcast-assign
-    * + groupBy-average); a query exact-ranks only the `nProbe` nearest
+    * + map-side partial sums, no corpus shuffle); a query exact-ranks only
+    * the `nProbe` nearest
     * lists. THIS variant computes assignments in-flight (index-free path);
     * the serving path is [[buildIvfIndex]] + [[ivfTopKIndexed]], where the
     * assignment is a partition column and a probe reads nProbe/nLists of
@@ -362,25 +363,41 @@ object Similarity {
       .map { case (id, v) => (graft.corpus.SynthCorpus.hash64(seed, id, 0L), v) }
       .orderBy($"_1").limit(nLists)
       .collect().map(_._2.map(_.toDouble))
+    val nL = nLists
     var it = 0
     while (it < iters) {
       val cB = spark.sparkContext.broadcast(centroids)
-      val sums = vecs
-        .map { case (_, v) => (nearestCentroid(cB.value, v), (v.map(_.toDouble), 1L)) }
-        .groupByKey(_._1)
-        .mapGroups { (c, rows) =>
-          var acc: Array[Double] = null
-          var n = 0L
-          rows.foreach { case (_, (v, _)) =>
-            if (acc == null) acc = new Array[Double](v.length)
-            var i = 0
-            while (i < v.length) { acc(i) += v(i); i += 1 }
-            n += 1
-          }
-          (c, acc, n)
-        }.collect()
+      // mapPartitions partial sums (treeAggregate shape): each task folds
+      // its vectors into nLists accumulators and emits <= nLists tiny rows
+      // — the corpus never shuffles and reduce parallelism is the task
+      // count, not nLists. Driver combine is bounded by nLists * partitions
+      // rows, folded in partition order (deterministic for a fixed layout).
+      val partials = vecs.mapPartitions { rows =>
+        val acc = new Array[Array[Double]](nL)
+        val cnt = new Array[Long](nL)
+        rows.foreach { case (_, v) =>
+          val c = nearestCentroid(cB.value, v)
+          if (acc(c) == null) acc(c) = new Array[Double](v.length)
+          val a = acc(c)
+          var i = 0
+          while (i < v.length) { a(i) += v(i); i += 1 }
+          cnt(c) += 1
+        }
+        (0 until nL).iterator.filter(acc(_) != null).map(c => (c, acc(c), cnt(c)))
+      }.collect()
+      val sum = new Array[Array[Double]](nL)
+      val n = new Array[Long](nL)
+      partials.foreach { case (c, a, k) =>
+        if (sum(c) == null) sum(c) = new Array[Double](a.length)
+        val s = sum(c)
+        var i = 0
+        while (i < a.length) { s(i) += a(i); i += 1 }
+        n(c) += k
+      }
       val next = centroids.clone()
-      sums.foreach { case (c, acc, n) => next(c) = acc.map(_ / n) }
+      (0 until nL).foreach { c =>
+        if (n(c) > 0) next(c) = sum(c).map(_ / n(c))
+      }
       centroids = next
       it += 1
     }

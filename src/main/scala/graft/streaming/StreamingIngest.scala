@@ -82,7 +82,14 @@ object StreamingIngest {
              cfg: IndexConfig = IndexConfig()): IndexStats = {
     import spark.implicits._
     val keys = batch.select($"repo", $"path", $"commit").distinct()
+    // live-manifest filter (same defense as every docstats consumer): a
+    // crashed merge can leave superseded segId dirs behind until GC, and an
+    // unfiltered key lookup would return their docIds too
+    val fsUp = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val liveSegs = IndexBuilder.readManifests(fsUp, indexDir).map(_.segId)
     val existing = spark.read.parquet(IndexBuilder.docstatsDir(indexDir))
+      .filter($"segId".isin(liveSegs: _*))
       .select($"docId", $"repo", $"path", $"commit")
       .join(org.apache.spark.sql.functions.broadcast(keys), Seq("repo", "path", "commit"))
       .select($"docId").as[Long].collect()

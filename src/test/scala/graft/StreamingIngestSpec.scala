@@ -92,6 +92,30 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(hits.map(_.docId) == oracle.map(_._1))
   }
 
+  test("crashed-merge orphan docstats do not poison upsert key lookups") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("uporphan")
+    val segSize = 16
+    val base = mkRows(9L, 0, 40)
+    IndexBuilder.build(spark, spark.createDataset(base), dir, IndexConfig(segSize = segSize))
+    val key = base(3)
+    val realId = spark.read.parquet(IndexBuilder.docstatsDir(dir))
+      .filter($"repo" === key.repo && $"path" === key.path && $"commit" === key.commit)
+      .select($"docId").as[Long].head()
+    // the state a crash between a merge's promote and its dir GC leaves:
+    // a docstats dir with NO live manifest, mapping the same unique key to
+    // a stale docId — an unfiltered key lookup would tombstone 9999
+    Seq((9999L, key.repo, key.path, key.commit, "text", "deadbeef", 7, 7))
+      .toDF("docId", "repo", "path", "commit", "lang", "sha", "rawLen", "lenByte")
+      .write.parquet(s"${IndexBuilder.docstatsDir(dir)}/segId=99")
+    StreamingIngest.upsert(spark,
+      spark.createDataset(Seq(key.copy(content = key.content + " upd"))), dir,
+      IndexConfig(segSize = segSize))
+    val tombs = graft.build.Deletes.read(spark, dir)
+    assert(tombs.contains(realId), s"real docId not tombstoned: $tombs")
+    assert(!tombs.contains(9999L), s"orphan docstats leaked into upsert: $tombs")
+  }
+
   test("incremental lexicon after append == full rebuild (df, cf, grams probe)") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("inclex")
