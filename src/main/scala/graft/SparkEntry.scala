@@ -21,7 +21,7 @@ import graft.streaming.StreamingIngest
 object SparkEntry {
 
   /** bump when the on-disk index format changes (invalidates /tmp caches) */
-  private val FormatVersion = "v5"
+  private val FormatVersion = "v6"
 
   /** the driver-contract multi-field schema: text content + path, plus a
     * numeric size (char length) and a datetime mtime (a deterministic date
@@ -195,10 +195,13 @@ object SparkEntry {
         .select(col("docId").as("docid"), col("rawLen").cast("long").as("rawlen"),
           col("lenByte").cast("long").as("lenbyte"))
     }),
-    // G1/G4: global lexicon (term -> corpus df)
+    // G1/G4: global lexicon (term -> corpus df + cf + global max tf, the
+    // TermInfo triple — maxTf is the round-4 driver-side bound input)
     "ft_df" -> ((s, dir) => {
       s.read.parquet(IndexBuilder.lexiconDir(indexFor(s, dir)))
-        .select(col("term"), col("df").cast("long").as("df"))
+        .select(col("term"), col("df").cast("long").as("df"),
+          col("cf").cast("long").as("cf"),
+          col("maxTf").cast("long").as("maxtf"))
     }),
     // G3: corpus stats feeding BM25
     "ft_stats" -> ((s, dir) => {
@@ -209,9 +212,11 @@ object SparkEntry {
       Seq((st.numDocs, st.totalFieldLen)).toDF("n_docs", "total_len")
     }),
     // G1: per-(term,doc) tf — decoded straight from the posting blocks
+    // (the D14 reserved pseudo rows are index machinery, not term stats)
     "ft_tf" -> ((s, dir) => {
       import s.implicits._
       s.read.parquet(IndexBuilder.segmentsDir(indexFor(s, dir)))
+        .filter(col("term") >= graft.search.Q.RealTermMin)
         .select($"term", $"blocks").as[(String, Array[Byte])]
         .flatMap { case (term, blocks) =>
           graft.codec.PostingsCodec.decodeIterator(blocks)
@@ -673,7 +678,9 @@ object SparkEntry {
     "ft_doclen" ->
       s"$cte SELECT docid, rawlen, lenbyte::BIGINT AS lenbyte FROM flens",
     "ft_df" ->
-      s"$cte SELECT term, df FROM dft",
+      (s"$cte SELECT d.term, d.df, c.cf, c.maxtf FROM dft d JOIN " +
+        "(SELECT term, sum(tf)::BIGINT AS cf, max(tf)::BIGINT AS maxtf " +
+        "FROM tf GROUP BY term) c USING (term)"),
     "ft_stats" ->
       s"$cte SELECT n AS n_docs, total AS total_len FROM params",
     "ft_tf" ->

@@ -183,6 +183,16 @@ object IndexBuilder {
     }
   }
 
+  /** one pseudo posting: tf 1, position 0, the doc's real lenByte (Every
+    * scores are constant, but the list shares the block wire format) */
+  private val PseudoPos = Array(0)
+  @inline private def pseudoAdd(builders: java.util.HashMap[String, PostingsCodec.Encoder],
+                                term: String, docId: Long, lenByte: Int): Unit = {
+    var enc = builders.get(term)
+    if (enc == null) { enc = new PostingsCodec.Encoder; builders.put(term, enc) }
+    enc.add(docId, 1, lenByte, PseudoPos)
+  }
+
   /** streaming-append entry: build the given fresh segIds from an already
     * stamped (docId-shifted) batch — see graft.streaming.StreamingIngest */
   private[graft] def buildBatchForAppend(spark: SparkSession, fs: FileSystem,
@@ -281,6 +291,16 @@ object IndexBuilder {
                 if (enc == null) { enc = new PostingsCodec.Encoder; builders.put(term, enc) }
                 enc.addEncoded(a.docId, tf, a.lenByte, a.blob, posOff, posLen)
               }
+              // D14: persisted match-all pseudo lists. Every doc joins the
+              // segment's all-docs list; docs with >= 1 token also join the
+              // non-empty ("field has a value") list. They ride the
+              // ordinary run/merge/write machinery and end up as two
+              // reserved-term rows per segment, so NOT/`*`/`field:*`
+              // queries read them through the same pruned `term IN` scan as
+              // real terms instead of scanning docstats per query.
+              pseudoAdd(builders, graft.search.Q.EveryTerm, a.docId, a.lenByte)
+              if (a.rawLen > 0)
+                pseudoAdd(builders, graft.search.Q.EveryNonEmptyTerm, a.docId, a.lenByte)
             }
             if (pending.isEmpty && !docsIt.hasNext && !builders.isEmpty) flushSeg()
           }
@@ -368,6 +388,11 @@ object IndexBuilder {
                                     path: String): Map[Int, (Long, Long, String)] = {
     import spark.implicits._
     spark.read.parquet(path)
+      // manifest metrics stay REAL-postings-only: the D14 pseudo rows are
+      // derived data (a pure function of the segment's doc set), so
+      // excluding them keeps digests comparable across format revisions
+      // and keeps postingRows == distinct indexed terms
+      .filter($"term" >= graft.search.Q.RealTermMin)
       .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
       .groupByKey(_.segId).mapGroups { (segId, it) =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -406,9 +431,13 @@ object IndexBuilder {
     val liveLex = readManifests(fsLex, indexDir).map(_.segId)
     val seg = spark.read.parquet(segmentsDir(indexDir))
       .filter(col("segId").isin(liveLex: _*))
+      .filter(col("term") >= graft.search.Q.RealTermMin) // D14 pseudo rows excluded
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    // maxTf = the term's corpus-wide max term frequency ([W] whoosh TermInfo
+    // max_weight): the driver-side query upper-bound input (Searcher.termStats)
     seg.groupBy($"term").agg(sum($"df").cast("long").as("df"),
-        sum($"cf").cast("long").as("cf"))
+        sum($"cf").cast("long").as("cf"),
+        max($"maxTf").cast("long").as("maxTf"))
       .repartitionByRange(lexPartitions, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
@@ -442,8 +471,10 @@ object IndexBuilder {
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     val delta = spark.read.parquet(segmentsDir(indexDir))
       .filter(col("segId").isin(newSegIds: _*))
+      .filter(col("term") >= graft.search.Q.RealTermMin) // D14 pseudo rows excluded
       .groupBy($"term").agg(sum($"df").cast("long").as("df"),
-        sum($"cf").cast("long").as("cf"))
+        sum($"cf").cast("long").as("cf"),
+        max($"maxTf").cast("long").as("maxTf"))
     val old = spark.read.parquet(lexiconDir(indexDir))
     // new terms' grams (delta-sized) — before the lexicon dirs move
     val newGrams = delta.select($"term").join(old.select($"term"), Seq("term"), "left_anti")
@@ -454,7 +485,8 @@ object IndexBuilder {
     val staging = s"${stagingDir(indexDir)}/lexicon"
     old.unionByName(delta)
       .groupBy($"term").agg(sum($"df").cast("long").as("df"),
-        sum($"cf").cast("long").as("cf"))
+        sum($"cf").cast("long").as("cf"),
+        max($"maxTf").cast("long").as("maxTf"))
       .repartitionByRange(lexPartitions, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(staging)

@@ -41,9 +41,11 @@ final case class SegRow(segId: Int, term: String, df: Int, maxTf: Int,
 final case class SegRead(term: String, df: Int, maxTf: Int,
                          blocks: Array[Byte], segId: Int)
 
-/** global lexicon row: term -> corpus-wide document frequency + collection
-  * frequency (total term weight, the Bo1 expansion-model input) */
-final case class LexRow(term: String, df: Long, cf: Long)
+/** global lexicon row: term -> corpus-wide document frequency, collection
+  * frequency (total term weight, the Bo1 expansion-model input), and max
+  * term frequency ([W] whoosh TermInfo max_weight — the driver-side query
+  * score upper bound: w.upperBound(idf(df), maxTf) needs no segment read) */
+final case class LexRow(term: String, df: Long, cf: Long, maxTf: Long)
 
 /** per-segment manifest (SURVEY.md S5): lineage + row-count/digest metrics,
   * the checkpoint unit for resumable builds.

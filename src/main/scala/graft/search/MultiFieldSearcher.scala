@@ -206,8 +206,10 @@ object MultiFieldSearcher {
     val wLocal = weighting
 
     // one pruned scan per field, unioned with a field tag; match-all pseudo
-    // lists ride under their Every field ("" = the all-docs `*`; `field:*`
-    // ships only that field's non-empty docs)
+    // lists are PERSISTED reserved-term rows (D14) read through the same
+    // pushed `term IN` scans ("" = the default handle's all-docs list;
+    // `field:*` = that field's non-empty list, re-keyed to EveryTerm so the
+    // kernel finds it under key(field, EveryTerm))
     val rows = mh.handles.toSeq.sortBy(_._1).flatMap { case (fname, h) =>
       val terms = ft.collect { case (f, t) if f == fname => t }
       if (terms.isEmpty) None
@@ -215,11 +217,14 @@ object MultiFieldSearcher {
         .filter($"term".isin(terms.toSeq: _*))
         .select(lit(fname).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
     } ++ q.everyFields.toSeq.sorted.flatMap {
-      case "" => Some(Searcher.everyRows(spark, mh.defaultHandle)
+      case "" => Some(mh.defaultHandle.segments
+        .filter($"term" === Q.EveryTerm)
         .select(lit("").as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
       case f => mh.handles.get(f).map(h =>
-        Searcher.everyRows(spark, h, onlyNonEmpty = true)
-          .select(lit(f).as("field"), $"term", $"df", $"maxTf", $"blocks", $"segId"))
+        h.segments
+          .filter($"term" === Q.EveryNonEmptyTerm)
+          .select(lit(f).as("field"), lit(Q.EveryTerm).as("term"),
+            $"df", $"maxTf", $"blocks", $"segId"))
     }
     if (rows.isEmpty) return spark.emptyDataset[SearchHit]
 

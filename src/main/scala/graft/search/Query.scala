@@ -74,6 +74,17 @@ object Q {
   /** reserved pseudo-term for the match-all doc list: analyzed terms never
     * contain \u0000, so it cannot collide with a real term */
   final val EveryTerm = "\u0000*"
+  /** reserved pseudo-term for the "field has a value" doc list (docs whose
+    * field produced >= 1 token, rawLen > 0) — the persisted backing of
+    * field-scoped Every (`field:*`). Both pseudo lists are written per
+    * segment at BUILD time (decision D14) as ordinary term-sorted posting
+    * rows, so a match-all/NOT query is a pruned `term IN` read like any
+    * other term — never a per-query docstats scan. */
+  final val EveryNonEmptyTerm = "\u0000+"
+  /** every real (analyzed) term sorts >= this bound; the reserved pseudo
+    * terms sort strictly below it — the filter that keeps pseudo rows out
+    * of lexicon aggregation and manifest metrics */
+  final val RealTermMin = "\u0001"
 }
 /** a term in a field, optionally boosted (`term^2`, Whoosh parser surface):
   * contribution = BM25(idf(field df) * boost, tf, field length stats) */

@@ -209,69 +209,60 @@ object Searcher {
     terms.iterator.map(t => t -> handle.dfCache.get(t).longValue()).toMap
   }
 
+  /** Global per-term stats from the lexicon ([W] whoosh/reading.py
+    * TermInfo: doc_frequency, frequency, max_weight): one pruned IN
+    * lookup. `upperBound(w)` = the term's corpus-wide score ceiling
+    * w.upperBound(idf(df), maxTf) — driver-side query bound math with no
+    * segment read (e.g. ordering OR terms, or skipping terms that cannot
+    * reach a threshold). */
+  final case class TermStats(df: Long, cf: Long, maxTf: Long) {
+    def upperBound(w: Weighting, numDocs: Long): Double =
+      if (df == 0) 0.0 else w.upperBound(w.idf(df, numDocs), maxTf.toInt)
+  }
+  def termStats(spark: SparkSession, handle: IndexHandle,
+                terms: Set[String]): Map[String, TermStats] = {
+    import spark.implicits._
+    if (terms.isEmpty) return Map.empty
+    handle.lexicon
+      .filter($"term".isin(terms.toSeq: _*))
+      .as[LexRow]
+      .collect()
+      .map(l => l.term -> TermStats(l.df, l.cf, l.maxTf))
+      .toMap
+  }
+
   /** Pruned posting rows for the query's terms, plus the per-segment
-    * match-all pseudo list when the query needs one (QEvery). */
+    * match-all pseudo lists when the query needs them (QEvery).
+    *
+    * The pseudo lists are PERSISTED per segment at build time (decision
+    * D14): two reserved-term rows — Q.EveryTerm (all docs) and
+    * Q.EveryNonEmptyTerm (docs with >= 1 token) — written through the
+    * ordinary run/merge machinery, so they ride THIS same pushed `term IN`
+    * scan. A `NOT x` / `*` / `field:*` query therefore reads a handful of
+    * pruned posting rows, never a corpus-wide docstats scan (the round-3
+    * in-flight builder scanned every live doc's stats per query). Deletes
+    * overlay via the kernel's tombstone probe, so the persisted list stays
+    * a pure function of the segment. Scopes: "" = all docs (bare `*`); the
+    * default field = the non-empty list, re-keyed EveryTerm + field so the
+    * kernel scopes it; any OTHER field ships nothing -> EmptyMatcher
+    * (RefModel: None). */
   private[search] def queryRows(spark: SparkSession, handle: IndexHandle,
                                 terms: Set[String],
                                 everyFields: Set[String]): Dataset[SegRead] = {
     import spark.implicits._
-    val rows0 = handle.segments
-      .filter($"term".isin(terms.toSeq: _*))
+    val wantAll = everyFields.contains("")
+    val wantField = everyFields.contains(Q.DefaultField)
+    val stored = terms ++
+      (if (wantAll) Set(Q.EveryTerm) else Set.empty) ++
+      (if (wantField) Set(Q.EveryNonEmptyTerm) else Set.empty)
+    val rows = handle.segments
+      .filter($"term".isin(stored.toSeq: _*))
       .select($"term", $"df", $"maxTf", $"blocks", $"segId")
       .as[SegRead]
-    // match-all pseudo lists per required Every scope: "" = all docs
-    // (bare `*`); the default field = docs where it has a value (pushed
-    // rawLen > 0), keyed under EveryTerm + field so the kernel scopes it;
-    // any OTHER field ships nothing -> EmptyMatcher (RefModel: None)
-    everyFields.toSeq.sorted.foldLeft(rows0) {
-      case (acc, "") => acc.unionByName(everyRows(spark, handle))
-      case (acc, f) if f == Q.DefaultField =>
-        acc.unionByName(everyRows(spark, handle, onlyNonEmpty = true,
-          pseudoTerm = Q.EveryTerm + f))
-      case (acc, _) => acc
-    }
-  }
-
-  /** The match-all pseudo posting list under the reserved term Q.EveryTerm:
-    * the segment's live docIds (tf 1, real lenBytes) encoded through the
-    * ordinary codec from the docstats sidecar. Encoded MAP-SIDE, one
-    * compressed run per (scan partition, segment) — exactly the build's
-    * phase-1 shape — so a match-all never shuffles raw (docId, lenByte)
-    * pairs: only compressed runs ride the kernel's existing segId exchange,
-    * and the kernel k-way-merges duplicate rows of a term (the runs of a
-    * segment split across scan partitions). */
-  private[search] def everyRows(spark: SparkSession, handle: IndexHandle,
-                                onlyNonEmpty: Boolean = false,
-                                pseudoTerm: String = Q.EveryTerm): Dataset[SegRead] = {
-    import spark.implicits._
-    val base = spark.read.parquet(IndexBuilder.docstatsDir(handle.indexDir))
-      .filter(col("segId").isin(handle.liveSegIds: _*))
-    // field-scoped Every (`field:*`): only docs where the field produced
-    // at least one token (pushed rawLen > 0)
-    (if (onlyNonEmpty) base.filter(col("rawLen") > 0) else base)
-      .select(col("docId"), col("lenByte"), col("segId"))
-      .as[(Long, Int, Int)]
-      .mapPartitions { it =>
-        val bufs = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[(Long, Int)]]()
-        it.foreach { case (d, lb, segId) =>
-          var b = bufs.get(segId)
-          if (b == null) {
-            b = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
-            bufs.put(segId, b)
-          }
-          b += ((d, lb))
-        }
-        val p0 = Array(0)
-        val out = scala.collection.mutable.ArrayBuffer.empty[SegRead]
-        bufs.forEach { (segId, b) =>
-          val arr = b.sortBy(_._1)
-          val enc = new graft.codec.PostingsCodec.Encoder
-          arr.foreach { case (d, lb) => enc.add(d, 1, lb, p0) }
-          val e = enc.finish()
-          out += SegRead(pseudoTerm, e.df, e.maxTf, e.bytes, segId)
-        }
-        out.iterator
-      }
+    if (!wantField) rows
+    else rows.map(r =>
+      if (r.term == Q.EveryNonEmptyTerm) r.copy(term = Q.EveryTerm + Q.DefaultField)
+      else r)
   }
 
   /** Executor-side tombstone probe for one segment: loads only the range

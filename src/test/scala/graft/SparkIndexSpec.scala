@@ -398,6 +398,35 @@ class SparkIndexSpec extends AnyFunSuite {
       "e6" -> "* AND frequency"))
   }
 
+  test("D14: Every/NOT queries read persisted pseudo lists, never docstats") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("evplan")
+    IndexBuilder.build(spark, spark.createDataset(fixtureRows), dir,
+      IndexConfig(segSize = 2))
+    val handle = Searcher.open(spark, dir)
+    // the pseudo rows are PERSISTED per segment: stored term-sorted ahead
+    // of every real term, real-count metrics unchanged
+    val pseudo = spark.read.parquet(IndexBuilder.segmentsDir(dir))
+      .filter($"term" < graft.search.Q.RealTermMin)
+      .select($"term", $"df", $"segId")
+      .as[(String, Int, Int)].collect()
+    assert(pseudo.count(_._1 == graft.search.Q.EveryTerm) == 3) // one per segment
+    assert(pseudo.filter(_._1 == graft.search.Q.EveryTerm).map(_._2).sum == 5) // df = docCount
+    // lexicon and manifests exclude them
+    val lexMin = spark.read.parquet(IndexBuilder.lexiconDir(dir))
+      .agg(org.apache.spark.sql.functions.min($"term")).head().getString(0)
+    assert(lexMin >= graft.search.Q.RealTermMin)
+    // the query plan for a pure-NOT (Every-backed) query touches ONLY the
+    // segments relation with a pushed term IN filter — no docstats scan
+    val q = QueryParser.parse("NOT search")
+    val plan = Searcher.searchQ(spark, handle, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("docstats"), s"docstats scan in Every plan:\n$plan")
+    assert(plan.contains("segments"))
+    assert(plan.contains("isin") || plan.contains("In(term") || plan.contains("IN ("),
+      s"no pushed term filter in:\n$plan")
+  }
+
   test("delete-by-query: bulk tombstones, hidden at query, purged at compaction") {
     import spark.implicits._
     val rows2 = (0 until 200).map { i =>

@@ -128,12 +128,12 @@ class StreamingIngestSpec extends AnyFunSuite {
     StreamingIngest.append(spark, spark.createDataset(mkRows(7L, 60, 70)), dir,
       IndexConfig(segSize = segSize))
     val incremental = spark.read.parquet(IndexBuilder.lexiconDir(dir))
-      .as[(String, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long)].collect().toSet
     val incGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
       .as[(String, String)].collect().toSet
     IndexBuilder.writeLexicon(spark, dir) // full rebuild over all segments
     val full = spark.read.parquet(IndexBuilder.lexiconDir(dir))
-      .as[(String, Long, Long)].collect().toSet
+      .as[(String, Long, Long, Long)].collect().toSet
     val fullGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
       .as[(String, String)].collect().toSet
     assert(incremental == full)
