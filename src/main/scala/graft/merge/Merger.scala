@@ -210,6 +210,56 @@ object Merger {
       }
   }
 
+  /** Size-tiered incremental merge policy ([W] whoosh/writing.py
+    * MERGE_SMALL: "merge only small segments, leave big ones alone" — the
+    * default policy of every Whoosh writer commit): merge runs of ADJACENT
+    * (docLo-ordered) segments whose docCount < `smallDocs` (default: the
+    * index's segSize, i.e. "not yet a full segment") into one fresh
+    * segment each, leaving large segments untouched.
+    *
+    * This is the continuous-ingestion policy: work per invocation is
+    * proportional to the small TAIL, never the index, so segment count
+    * stays bounded (large segments + at most one growing small run)
+    * without the compact-to-one full rewrite — at 10^12 docs an optimize
+    * per N micro-batches would rewrite the whole index; this rewrites only
+    * the freshly appended data. Deletes are NOT purged here (a pure
+    * concatenation keeps every term's global df, so the lexicon needs no
+    * rebuild); purge stays with compact(applyDeletes)/optimize.
+    *
+    * Returns the freshly minted segIds. */
+  def mergeSmall(spark: SparkSession, indexDir: String, smallDocs: Long = 0,
+                 groupSize: Int = 8): Seq[Int] = {
+    require(groupSize >= 2)
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val target =
+      if (smallDocs > 0) smallDocs
+      else IndexBuilder.readStats(fs, indexDir).segSize.toLong
+    val ms = IndexBuilder.readManifests(fs, indexDir)
+    val minted = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var run = List.empty[SegmentManifest]
+    def flush(): Unit = {
+      if (run.size >= 2) minted += mergeGroup(spark, indexDir, run.map(_.segId))
+      run = Nil
+    }
+    ms.sortBy(m => (m.docLo, m.segId)).foreach { m =>
+      if (m.docCount >= target) flush() // a large segment breaks the run
+      else {
+        run = run :+ m
+        // the accumulated run has reached full-segment size (its merge
+        // graduates to "large") or the fan-in cap: merge it now
+        if (run.size == groupSize || run.map(_.docCount).sum >= target) flush()
+      }
+    }
+    flush()
+    if (minted.nonEmpty) {
+      val st = IndexBuilder.readStats(fs, indexDir)
+      IndexBuilder.writeStats(fs, indexDir, st.copy(
+        numSegments = IndexBuilder.readManifests(fs, indexDir).size))
+    }
+    minted.toSeq
+  }
+
   /** hierarchical compaction: repeatedly merge adjacent groups of
     * `groupSize` until one segment remains (reference `optimize_index`).
     * With `applyDeletes`, the index's tombstone set is purged during the

@@ -98,8 +98,11 @@ object StreamingIngest {
   }
 
   /** Start a streaming ingest: every micro-batch commits new segments;
-    * every `compactEvery` batches, adjacent segments are merged (the
-    * reference's MERGE_SMALL policy analog). */
+    * every `compactEvery` batches the size-tiered MERGE_SMALL policy
+    * (Merger.mergeSmall) folds the small tail into full segments — large
+    * segments are never rewritten, so per-trigger merge work is bounded by
+    * the recent appends, not the index (the round-3 wiring ran a full
+    * compact-to-one here: an O(index) rewrite every N batches). */
   def start(spark: SparkSession, stream: Dataset[CorpusRow], indexDir: String,
             checkpointDir: String, cfg: IndexConfig = IndexConfig(),
             compactEvery: Int = 0, groupSize: Int = 8,
@@ -110,7 +113,8 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[CorpusRow], batchId: Long) =>
         append(spark, batch, indexDir, cfg)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          graft.merge.Merger.compact(spark, indexDir, groupSize)
+          graft.merge.Merger.mergeSmall(spark, indexDir, groupSize = groupSize)
+          ()
         }
         ()
       }

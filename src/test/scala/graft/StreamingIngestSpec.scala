@@ -92,6 +92,58 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(hits.map(_.docId) == oracle.map(_._1))
   }
 
+  test("MERGE_SMALL: bounded segment count, large segments untouched, oracle-identical") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("msmall")
+    val segSize = 32
+    val base = mkRows(11L, 0, 64) // two FULL (large) segments
+    IndexBuilder.build(spark, spark.createDataset(base), dir, IndexConfig(segSize = segSize))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val largeDigests = IndexBuilder.readManifests(fs, dir)
+      .map(m => m.segId -> m.digest).toMap
+    assert(largeDigests.size == 2)
+
+    // six small appends with the policy after each: the small tail keeps
+    // folding into at most one growing run; large segments never rewrite
+    val appends = (0 until 6).map(k => mkRows(11L, 64 + 8 * k, 64 + 8 * (k + 1)))
+    appends.foreach { b =>
+      StreamingIngest.append(spark, spark.createDataset(b), dir,
+        IndexConfig(segSize = segSize))
+      graft.merge.Merger.mergeSmall(spark, dir)
+    }
+
+    val ms = IndexBuilder.readManifests(fs, dir)
+    // (a) bounded: 6 appends collapse to <= 2 extra segments (one graduated
+    // full segment + the current small run), vs 8 without the policy
+    assert(ms.size <= 4, s"unbounded segment count: ${ms.map(m => (m.segId, m.docCount))}")
+    assert(ms.map(_.docCount).sum == 64 + 48)
+    // (b) the original large segments were never touched (same segId+digest)
+    largeDigests.foreach { case (segId, dig) =>
+      val m = ms.find(_.segId == segId)
+      assert(m.exists(_.digest == dig), s"large segment $segId rewritten: $m")
+    }
+    // (c) search over the policy-merged index == oracle over the same docs.
+    // docId layout: merges mint fresh segIds, so each append's docIdBase
+    // jumps to (max live segId + 1) * segSize — recover the actual ids from
+    // the docstats key map (the D1 stamp itself is covered elsewhere)
+    val handle = Searcher.open(spark, dir)
+    val byKey = (base +: appends).flatten
+      .map(r => (r.repo, r.path, r.commit) -> r.content).toMap
+    val docs = spark.read.parquet(IndexBuilder.docstatsDir(dir))
+      .filter($"segId".isin(handle.liveSegIds: _*))
+      .select($"docId", $"repo", $"path", $"commit")
+      .as[(Long, String, String, String)].collect().toSeq
+      .map { case (id, r, p, c) => (id, byKey((r, p, c))) }
+    assert(docs.size == 64 + 48)
+    val ref = new RefModel(docs)
+    Seq("w0000", "w0001 AND w0002", "w0003 OR w0004", "NOT w0000").foreach { qs =>
+      val hits = Searcher.search(spark, handle, qs, 10).collect().toSeq
+      val oracle = ref.search(qs, 10)
+      assert(hits.map(_.docId) == oracle.map(_._1), s"'$qs': $hits vs $oracle")
+    }
+  }
+
   test("crashed-merge orphan docstats do not poison upsert key lookups") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("uporphan")
