@@ -301,6 +301,27 @@ object SparkEntry {
     // sloppy phrase `"a b"~N` (Whoosh Phrase(slop=N), decision D8): ordered
     // window chains, tf = distinct chain starts
     "ft_topk_slop" -> ((s, dir) => topk(s, dir, "\"merge join\"~3")),
+    // span queries ([W] whoosh/spans.py, decision D15): spans filter the
+    // match set, scoring is the wrapped compound's. Ordered near:
+    "ft_topk_spannear" -> ((s, dir) => topk(s, dir, "merge ONEAR/3 join")),
+    // unordered near (either side may come first within the window)
+    "ft_topk_spannear_un" -> ((s, dir) => topk(s, dir, "merge NEAR/3 data")),
+    // SpanNot (programmatic, like Whoosh): merge..join windows with no
+    // 'table' occurrence inside; scored by the incl side
+    "ft_topk_spannot" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QSpanNot(
+        graft.search.QSpanNear(List(graft.search.QTerm("merge"),
+          graft.search.QTerm("join")), 5, ordered = true),
+        graft.search.QTerm("table"))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // pluggable weighting (reference search_documents(weighting=...)):
     // Whoosh TF_IDF = tf * idf, length-independent
     "ft_topk_tfidf" -> ((s, dir) =>
@@ -778,6 +799,34 @@ object SparkEntry {
          |         AND t1.term = 'join' AND t1.pos > t0.pos AND t1.pos <= t0.pos + 3
          |       WHERE t0.term = 'merge' GROUP BY t0.docid) m
          | JOIN flens fl ON fl.docid = m.docid""".stripMargin.replace("\n", " "))),
+    // ordered span near (D15): doc matches iff a merge->join position pair
+    // with gap in [1,3] exists; score = the two terms' ordinary BM25 sum
+    "ft_topk_spannear" -> (cte + " " + rank(
+      """SELECT c.docid, sum(c.s) AS score FROM contrib c
+        | WHERE c.term IN ('merge','join') AND c.docid IN (
+        |   SELECT t0.docid FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+        |     AND t1.term = 'join' AND t1.pos - t0.pos BETWEEN 1 AND 3
+        |   WHERE t0.term = 'merge')
+        | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
+    // unordered span near: either order within the window
+    "ft_topk_spannear_un" -> (cte + " " + rank(
+      """SELECT c.docid, sum(c.s) AS score FROM contrib c
+        | WHERE c.term IN ('merge','data') AND c.docid IN (
+        |   SELECT t0.docid FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+        |     AND t1.term = 'data' AND abs(t1.pos - t0.pos) BETWEEN 1 AND 3
+        |   WHERE t0.term = 'merge')
+        | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
+    // span not: a merge..join window (gap in [1,5]) containing NO 'table'
+    // position survives; scored by the incl side's terms only
+    "ft_topk_spannot" -> (cte + " " + rank(
+      """SELECT c.docid, sum(c.s) AS score FROM contrib c
+        | WHERE c.term IN ('merge','join') AND c.docid IN (
+        |   SELECT t0.docid FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+        |     AND t1.term = 'join' AND t1.pos - t0.pos BETWEEN 1 AND 5
+        |   WHERE t0.term = 'merge' AND NOT EXISTS (
+        |     SELECT 1 FROM tokens t2 WHERE t2.docid = t0.docid
+        |       AND t2.term = 'table' AND t2.pos BETWEEN t0.pos AND t1.pos))
+        | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
     // TF_IDF weighting: score = sum over matching terms of idf * tf
     "ft_topk_tfidf" -> (cte + " " + rank(
       """SELECT f.docid, sum((ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) * f.tf) AS score

@@ -88,7 +88,53 @@ final class RefModel(docs: Seq[(Long, String)],
       scoreDoc(p, docId).map(s => s + scoreDoc(m, docId).getOrElse(0.0))
     case QRequire(p, f) =>
       if (scoreDoc(f, docId).isEmpty) None else scoreDoc(p, docId)
+    // span queries (D15): spans FILTER which docs match; scoring is the
+    // wrapped compound's (Near = sum of children, Or = sum of matching
+    // children, Not = incl side)
+    case QSpanNear(cs, _, _) =>
+      if (spansOf(q, docId).isEmpty) None
+      else Some(cs.flatMap(c => scoreDoc(c, docId)).sum)
+    case QSpanOr(cs) =>
+      if (spansOf(q, docId).isEmpty) None
+      else Some(cs.flatMap(c => scoreDoc(c, docId)).sum)
+    case QSpanNot(i, _) =>
+      if (spansOf(q, docId).isEmpty) None else scoreDoc(i, docId)
   }
+
+  /** the doc's surviving spans for a span-capable node, None/empty = no
+    * match (brute force — the obviously-correct mirror of the kernel's
+    * SpanNode tree) */
+  private def spansOf(q: Q, docId: Long): Option[Seq[(Int, Int)]] = (q match {
+    case QTerm(t, f, _) if f == field =>
+      postings.get(t).flatMap(_.get(docId)).map(_.toSeq.map(p => (p, p)))
+    case QSpanNear(cs, slop, ordered) =>
+      val childSpans = cs.map(spansOf(_, docId))
+      if (childSpans.exists(_.isEmpty)) None
+      else Some(childSpans.map(_.get).reduceLeft { (as, bs) =>
+        (for {
+          (a1, a2) <- as
+          (b1, b2) <- bs
+          s <- if (b1 > a2 && b1 - a2 <= slop) Some((a1, b2))
+               else if (!ordered && a1 > b2 && a1 - b2 <= slop) Some((b1, a2))
+               else None
+        } yield s).distinct.sorted
+      })
+    case QSpanOr(cs) =>
+      cs.flatMap(spansOf(_, docId)) match {
+        case Nil => None
+        case ss  => Some(ss.flatten.distinct.sorted)
+      }
+    case QSpanNot(i, e) =>
+      spansOf(i, docId).map { is =>
+        spansOf(e, docId) match {
+          case None     => is
+          case Some(es) =>
+            is.filterNot { case (a1, a2) =>
+              es.exists { case (b1, b2) => a1 <= b2 && b1 <= a2 } }
+        }
+      }
+    case _ => None
+  }).filter(_.nonEmpty)
 
   /** sloppy phrase tf (D8, `"..."~N` with N > 1): number of first-term
     * positions admitting an in-order chain with every consecutive gap in

@@ -143,6 +143,42 @@ object Kernel {
       val fm = buildMatcher(f, lists, statsOf, w)
       if ((pm eq EmptyMatcher) || (fm eq EmptyMatcher)) EmptyMatcher
       else new RequireMatcher(pm, fm)
+    case sq @ (_: QSpanNear | _: QSpanOr | _: QSpanNot) =>
+      buildSpanNode(sq, lists, statsOf, w)
+        .map(new SpanScorer(_): Matcher).getOrElse(EmptyMatcher)
+  }
+
+  /** span tree construction (D15): a Near with any unmatchable child is
+    * unmatchable; an Or drops unmatchable children; a Not with an
+    * unmatchable excl is just its incl. Children are restricted to terms
+    * and span nodes (Q.spanify enforces this at parse/rewrite). */
+  private def buildSpanNode(q: Q, lists: Map[String, TermList],
+                            statsOf: String => BM25.CorpusStats,
+                            w: Weighting): Option[SpanNode] = q match {
+    case QTerm(t, f, boost) =>
+      lists.get(key(f, t)).map { tl =>
+        val st = statsOf(f)
+        new SpanTermNode(tl.bytes, w.idf(tl.globalDf, st.numDocs) * boost,
+          tl.maxTf, st.avgFieldLen, w)
+      }
+    case QSpanNear(cs, slop, ord) =>
+      val ns = cs.map(buildSpanNode(_, lists, statsOf, w))
+      if (ns.isEmpty || ns.exists(_.isEmpty)) None
+      else Some(new SpanNearNode(ns.map(_.get).toArray, slop, ord))
+    case QSpanOr(cs) =>
+      cs.flatMap(buildSpanNode(_, lists, statsOf, w)) match {
+        case Nil      => None
+        case n :: Nil => Some(n)
+        case ns       => Some(new SpanOrNode(ns.toArray))
+      }
+    case QSpanNot(i, e) =>
+      buildSpanNode(i, lists, statsOf, w).map { in =>
+        buildSpanNode(e, lists, statsOf, w) match {
+          case None     => in
+          case Some(en) => new SpanNotNode(in, en)
+        }
+      }
+    case _ => None
   }
 
   /** Single-field segment top-k (lists keyed by plain term, one stats):

@@ -273,6 +273,237 @@ final class RequireMatcher(pos: Matcher, filter: Matcher) extends Matcher {
   def currentUpperBound: Double = pos.currentUpperBound
 }
 
+/** Span matcher layer (D15, [W] whoosh/spans.py): a SpanNode iterates docs
+  * carrying the doc's surviving SPANS — packed inclusive (start, end)
+  * position pairs [s0,e0,s1,e1,...] — plus the node's ordinary compound
+  * score. Spans only FILTER which docs match (Whoosh-faithful); scoring is
+  * the wrapped compound's: Near = sum of children, Or = sum of matching
+  * children, Not = incl side. A settled node's docId always has nonempty
+  * spans (or Long.MaxValue). */
+sealed trait SpanNode {
+  def docId: Long
+  def advance(): Unit
+  def skipTo(target: Long): Unit
+  /** packed (start, end) pairs at the current matched doc */
+  def spans: Array[Int]
+  def score: Double
+  def maxScore: Double
+}
+
+/** term leaf: one span (p, p) per posting position */
+final class SpanTermNode(bytes: Array[Byte], idf: Double, rowMaxTf: Int,
+                         avgfl: Double, w: Weighting) extends SpanNode {
+  private val cur = new TermCursor(bytes)
+  val maxScore: Double = w.upperBound(idf, rowMaxTf)
+  def docId: Long = cur.docId
+  def advance(): Unit = cur.next()
+  def skipTo(target: Long): Unit = cur.skipTo(target)
+  def spans: Array[Int] = {
+    val ps = cur.positions
+    val out = new Array[Int](ps.length * 2)
+    var i = 0
+    while (i < ps.length) { out(2 * i) = ps(i); out(2 * i + 1) = ps(i); i += 1 }
+    out
+  }
+  def score: Double =
+    w.score(idf, cur.tf, LengthByte.decode(cur.lenByte), avgfl)
+}
+
+/** SpanNear: all children must match; spans fold left-to-right pairwise —
+  * ordered: next.start - prev.end in [1, slop], merged (prev.start,
+  * next.end); unordered: disjoint with gap in [1, slop] either way. The
+  * per-doc combine is quadratic in the (small) per-doc position counts,
+  * the same cost class as the sloppy-phrase chain probe. */
+final class SpanNearNode(children: Array[SpanNode], slop: Int,
+                         ordered: Boolean) extends SpanNode {
+  val maxScore: Double = children.map(_.maxScore).sum
+  private var cur = Long.MaxValue
+  private var curSpans: Array[Int] = null
+  seek(0L)
+
+  private def combine(a: Array[Int], b: Array[Int]): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long] // packed key
+    var i = 0
+    while (i < a.length) {
+      val as = a(i); val ae = a(i + 1)
+      var j = 0
+      while (j < b.length) {
+        val bs = b(j); val be = b(j + 1)
+        if (bs > ae && bs - ae <= slop)
+          out += ((as.toLong << 32) | (be.toLong & 0xffffffffL))
+        else if (!ordered && as > be && as - be <= slop)
+          out += ((bs.toLong << 32) | (ae.toLong & 0xffffffffL))
+        j += 2
+      }
+      i += 2
+    }
+    val keys = out.distinct.sorted
+    val res = new Array[Int](keys.length * 2)
+    var k = 0
+    while (k < keys.length) {
+      res(2 * k) = (keys(k) >> 32).toInt
+      res(2 * k + 1) = keys(k).toInt
+      k += 1
+    }
+    res
+  }
+
+  private def seek(from: Long): Unit = {
+    var target = math.max(from, children(0).docId)
+    var done = false
+    while (!done) {
+      var aligned = true
+      var i = 0
+      while (i < children.length && target != Long.MaxValue) {
+        val c = children(i)
+        if (c.docId < target) c.skipTo(target)
+        if (c.docId > target) { target = c.docId; aligned = false; i = children.length }
+        else if (c.docId == Long.MaxValue) { target = Long.MaxValue }
+        else i += 1
+      }
+      if (target == Long.MaxValue) { cur = Long.MaxValue; done = true }
+      else if (aligned) {
+        var s = children(0).spans
+        var i2 = 1
+        while (i2 < children.length && s.nonEmpty) {
+          s = combine(s, children(i2).spans)
+          i2 += 1
+        }
+        if (s.nonEmpty) { cur = target; curSpans = s; done = true }
+        else {
+          children(0).skipTo(target + 1)
+          target = children(0).docId
+        }
+      }
+    }
+  }
+
+  def docId: Long = cur
+  def advance(): Unit = if (cur != Long.MaxValue) seek(cur + 1)
+  def skipTo(target: Long): Unit = if (cur < target) seek(target)
+  def spans: Array[Int] = curSpans
+  def score: Double = {
+    var s = 0.0
+    var i = 0
+    while (i < children.length) { s += children(i).score; i += 1 }
+    s
+  }
+}
+
+/** SpanOr: union of the children's spans; score = sum over children
+  * matching the current doc (tree order). */
+final class SpanOrNode(children: Array[SpanNode]) extends SpanNode {
+  val maxScore: Double = children.map(_.maxScore).sum
+  def docId: Long = {
+    var m = Long.MaxValue
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < m) m = children(i).docId
+      i += 1
+    }
+    m
+  }
+  def advance(): Unit = {
+    val d = docId
+    if (d == Long.MaxValue) return
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) children(i).advance()
+      i += 1
+    }
+  }
+  def skipTo(target: Long): Unit = {
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId < target) children(i).skipTo(target)
+      i += 1
+    }
+  }
+  def spans: Array[Int] = {
+    val d = docId
+    val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) {
+        val s = children(i).spans
+        var j = 0
+        while (j < s.length) {
+          keys += ((s(j).toLong << 32) | (s(j + 1).toLong & 0xffffffffL))
+          j += 2
+        }
+      }
+      i += 1
+    }
+    val ks = keys.distinct.sorted
+    val res = new Array[Int](ks.length * 2)
+    var k = 0
+    while (k < ks.length) {
+      res(2 * k) = (ks(k) >> 32).toInt
+      res(2 * k + 1) = ks(k).toInt
+      k += 1
+    }
+    res
+  }
+  def score: Double = {
+    val d = docId
+    var s = 0.0
+    var i = 0
+    while (i < children.length) {
+      if (children(i).docId == d) s += children(i).score
+      i += 1
+    }
+    s
+  }
+}
+
+/** SpanNot: incl's spans that do not OVERLAP any excl span at the same doc
+  * (overlap: a.start <= b.end && b.start <= a.end); scored by incl only. */
+final class SpanNotNode(incl: SpanNode, excl: SpanNode) extends SpanNode {
+  val maxScore: Double = incl.maxScore
+  private var curSpans: Array[Int] = null
+  settle()
+  private def settle(): Unit = {
+    var done = false
+    while (!done && incl.docId != Long.MaxValue) {
+      if (excl.docId < incl.docId) excl.skipTo(incl.docId)
+      if (excl.docId == incl.docId) {
+        val es = excl.spans
+        val is = incl.spans
+        val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < is.length) {
+          val as = is(i); val ae = is(i + 1)
+          var hit = false
+          var j = 0
+          while (!hit && j < es.length) {
+            if (as <= es(j + 1) && es(j) <= ae) hit = true
+            j += 2
+          }
+          if (!hit) { keep += as; keep += ae }
+          i += 2
+        }
+        if (keep.nonEmpty) { curSpans = keep.toArray; done = true }
+        else incl.advance()
+      } else { curSpans = incl.spans; done = true }
+    }
+  }
+  def docId: Long = incl.docId
+  def advance(): Unit = { incl.advance(); settle() }
+  def skipTo(target: Long): Unit = { incl.skipTo(target); settle() }
+  def spans: Array[Int] = curSpans
+  def score: Double = incl.score
+}
+
+/** adapts a span tree root to the ordinary Matcher contract */
+final class SpanScorer(root: SpanNode) extends Matcher {
+  val maxScore: Double = root.maxScore
+  def docId: Long = root.docId
+  def advance(): Unit = root.advance()
+  def skipTo(target: Long): Unit = root.skipTo(target)
+  def score: Double = root.score
+  def currentUpperBound: Double = maxScore
+}
+
 /** Sloppy phrase (`"a b"~N` with N > 1, decision D8): surviving terms must
   * occur IN ORDER with each consecutive matched pair's position gap in
   * [1, slop]; tf = number of distinct first-term positions admitting a full

@@ -23,6 +23,9 @@ sealed trait Q extends Serializable {
     case QNot(p, n)        => p.fieldTerms ++ n.fieldTerms
     case QAndMaybe(p, m)   => p.fieldTerms ++ m.fieldTerms
     case QRequire(p, f)    => p.fieldTerms ++ f.fieldTerms
+    case QSpanNear(cs, _, _) => cs.flatMap(_.fieldTerms).toSet
+    case QSpanOr(cs)       => cs.flatMap(_.fieldTerms).toSet
+    case QSpanNot(i, e)    => i.fieldTerms ++ e.fieldTerms
     case _: QMulti         => Set.empty
     case QPureNot(n)       => n.fieldTerms
     case _: QEvery         => Set.empty
@@ -40,6 +43,7 @@ sealed trait Q extends Serializable {
     case QDisMax(cs, _)    => cs.flatMap(_.positiveFieldTerms).toSet
     case QAndMaybe(p, m)   => p.positiveFieldTerms ++ m.positiveFieldTerms
     case QRequire(p, f)    => p.positiveFieldTerms ++ f.positiveFieldTerms
+    case QSpanNot(i, _)    => i.positiveFieldTerms // excl side never matches
     case other             => other.fieldTerms
   }
   def positiveTerms: Set[String] = positiveFieldTerms.map(_._2)
@@ -51,6 +55,9 @@ sealed trait Q extends Serializable {
     case QNot(p, n)      => p.hasPrefix || n.hasPrefix
     case QAndMaybe(p, m) => p.hasPrefix || m.hasPrefix
     case QRequire(p, f)  => p.hasPrefix || f.hasPrefix
+    case QSpanNear(cs, _, _) => cs.exists(_.hasPrefix)
+    case QSpanOr(cs)     => cs.exists(_.hasPrefix)
+    case QSpanNot(i, e)  => i.hasPrefix || e.hasPrefix
     case _               => false
   }
   /** fields of the tree's match-all nodes ("" = the all-docs Every); each
@@ -85,6 +92,22 @@ object Q {
     * terms sort strictly below it — the filter that keeps pseudo rows out
     * of lexicon aggregation and manifest metrics */
   final val RealTermMin = "\u0001"
+
+  /** Coerce a node into span-capable form (D15): terms and span nodes pass
+    * through; an OR of span-capables becomes QSpanOr (`(a OR b) NEAR c`);
+    * multiterm nodes pass (their lexicon expansion spanifies later --
+    * QueryRewrite); everything else cannot carry positions -> QEmpty. */
+  def spanify(q: Q): Q = q match {
+    case t: QTerm     => t
+    case s: QSpanNear => s
+    case s: QSpanOr   => s
+    case s: QSpanNot  => s
+    case m: QMulti    => m
+    case QOr(cs) =>
+      val es = cs.map(spanify)
+      if (es.contains(QEmpty)) QEmpty else QSpanOr(es)
+    case _ => QEmpty
+  }
 }
 /** a term in a field, optionally boosted (`term^2`, Whoosh parser surface):
   * contribution = BM25(idf(field df) * boost, tf, field length stats) */
@@ -116,6 +139,34 @@ final case class QNot(positive: Q, negative: Q) extends Q
 final case class QAndMaybe(positive: Q, maybe: Q) extends Q
 /** `a REQUIRE b` (Whoosh Require): matches where both match, scored by a */
 final case class QRequire(positive: Q, filter: Q) extends Q
+
+/** Span queries ([W] whoosh/spans.py SpanNear/SpanOr/SpanNot — decision
+  * D15). A span is one occurrence's inclusive raw-position interval
+  * [start, end]; a term leaf yields (p, p) per posting position. Children
+  * must be span-capable: QTerm or another span node (Q.spanify converts a
+  * parenthesized OR of span-capables to QSpanOr; anything else degrades to
+  * QEmpty).
+  *
+  * Pinned semantics:
+  *  - QSpanNear: all children must match the doc; spans fold left-to-right
+  *    pairwise — ordered: next.start - prev.end in [1, slop], merged span
+  *    (prev.start, next.end); unordered: the two spans must be disjoint
+  *    with gap in [1, slop] in either order. The doc matches iff the folded
+  *    span set is nonempty.
+  *  - QSpanOr: any child's spans (union).
+  *  - QSpanNot: incl's spans minus those OVERLAPPING an excl span
+  *    (a.start <= b.end && b.start <= a.end); matches iff any survive.
+  *  - Scoring (Whoosh-faithful: spans only FILTER which docs match; the
+  *    wrapped compound scores as usual): Near = sum of children's ordinary
+  *    scores; Or = sum over children matching the doc; Not = incl's score.
+  *
+  * Parser forms: `a NEAR b`, `a NEAR/3 b` (unordered), `a ONEAR/2 b`
+  * (ordered), left-associative; slop defaults to 1 (adjacent). SpanNot is
+  * programmatic-only, as in Whoosh (no default query-language form). */
+final case class QSpanNear(cs: List[Q], slop: Int = 1,
+                           ordered: Boolean = true) extends Q
+final case class QSpanOr(cs: List[Q]) extends Q
+final case class QSpanNot(incl: Q, excl: Q) extends Q
 /** Multiterm queries (the reference surface beyond the pinned set —
   * SURVEY.md §2.6 "Prefix, Wildcard, FuzzyTerm, TermRange"): each expands
   * driver-side against the global lexicon into an OR over the first
@@ -246,6 +297,21 @@ object QueryRewrite {
       val pe = expandPrefixes(p, scan)
       val fe = expandPrefixes(f, scan)
       if (pe == QEmpty || fe == QEmpty) QEmpty else QRequire(pe, fe)
+    // span children: a multiterm expands to an OR of terms, which spanify
+    // re-coerces to QSpanOr so positions stay available (D15)
+    case QSpanNear(cs, slop, ord) =>
+      val es = cs.map(c => Q.spanify(expandPrefixes(c, scan)))
+      if (es.contains(QEmpty)) QEmpty else QSpanNear(es, slop, ord)
+    case QSpanOr(cs) =>
+      cs.map(c => Q.spanify(expandPrefixes(c, scan))).filterNot(_ == QEmpty) match {
+        case Nil      => QEmpty
+        case c :: Nil => c
+        case xs       => QSpanOr(xs)
+      }
+    case QSpanNot(i, e) =>
+      val ie = Q.spanify(expandPrefixes(i, scan))
+      val ee = Q.spanify(expandPrefixes(e, scan))
+      if (ie == QEmpty) QEmpty else if (ee == QEmpty) ie else QSpanNot(ie, ee)
     case other => other
   }
   private def es2or(cs: List[Q]): Q = cs.filterNot(_ == QEmpty) match {
@@ -266,8 +332,12 @@ object QueryParser {
   private case object TNot extends Tok
   private case object TAndMaybe extends Tok
   private case object TRequire extends Tok
+  private case class TNear(slop: Int, ordered: Boolean) extends Tok
   private case object LP extends Tok
   private case object RP extends Tok
+
+  /** `NEAR`, `NEAR/3` (unordered), `ONEAR`, `ONEAR/2` (ordered) */
+  private val NearOp = "^(O?)NEAR(?:/(\\d+))?$".r
 
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -308,6 +378,9 @@ object QueryParser {
           case "ANDNOT"   => out += TNot // Whoosh AndNot == our NOT clause
           case "ANDMAYBE" => out += TAndMaybe
           case "REQUIRE"  => out += TRequire
+          case NearOp(o, k) =>
+            out += TNear(Option(k).flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1),
+              ordered = o == "O")
           case _          => out += Word(w)
         }
         i = j
@@ -367,16 +440,16 @@ object QueryParser {
       var maybe = List.empty[Q]    // ANDMAYBE operands: optional score adders
       var reqs = List.empty[Q]     // REQUIRE operands: unscored filters
       var continue = true
-      if (peek.contains(TNot)) { pop(); neg = neg :+ unary() }
-      else pos = pos :+ unary()
+      if (peek.contains(TNot)) { pop(); neg = neg :+ prox() }
+      else pos = pos :+ prox()
       while (continue) {
         peek match {
-          case Some(TAnd)                              => pop(); pos = pos :+ unary()
-          case Some(TNot)                              => pop(); neg = neg :+ unary()
-          case Some(TAndMaybe)                         => pop(); maybe = maybe :+ unary()
-          case Some(TRequire)                          => pop(); reqs = reqs :+ unary()
+          case Some(TAnd)                              => pop(); pos = pos :+ prox()
+          case Some(TNot)                              => pop(); neg = neg :+ prox()
+          case Some(TAndMaybe)                         => pop(); maybe = maybe :+ prox()
+          case Some(TRequire)                          => pop(); reqs = reqs :+ prox()
           case Some(Word(_)) | Some(Phrase(_)) | Some(LP) |
-               Some(RangeTok(_, _))                    => pos = pos :+ unary()
+               Some(RangeTok(_, _))                    => pos = pos :+ prox()
           case _                                       => continue = false
         }
       }
@@ -395,6 +468,27 @@ object QueryParser {
       if (negsLive.isEmpty) p
       else if (p == QEmpty) QPureNot(mkOr(negsLive))
       else QNot(p, mkOr(negsLive))
+    }
+
+    // proximity level (binds tighter than AND/OR, left-associative):
+    // `a NEAR/3 b NEAR/3 c` nests as SpanNear(SpanNear(a, b), c). A side
+    // that isn't span-capable (spanify -> QEmpty) absorbs the node to
+    // QEmpty — dropped from its group, never a crash (D15).
+    def prox(): Q = {
+      var left = unary()
+      var continue = true
+      while (continue) {
+        peek match {
+          case Some(TNear(slop, ord)) =>
+            pop()
+            val l = Q.spanify(left)
+            val r = Q.spanify(unary())
+            left = if (l == QEmpty || r == QEmpty) QEmpty
+                   else QSpanNear(List(l, r), slop, ord)
+          case _ => continue = false
+        }
+      }
+      left
     }
 
     // a dangling operator / unclosed paren leaves no tokens: treat the
@@ -430,12 +524,13 @@ object QueryParser {
         val (slop, b) = trailingMods()
         phraseNode(p, defaultField, b, slop)
       case RangeTok(lo, hi) => QRange(lo, hi, defaultField)
-      case RP        => QEmpty
-      case TAnd      => QEmpty
-      case TOr       => QEmpty
-      case TNot      => QEmpty
-      case TAndMaybe => QEmpty
-      case TRequire  => QEmpty
+      case RP          => QEmpty
+      case TAnd        => QEmpty
+      case TOr         => QEmpty
+      case TNot        => QEmpty
+      case TAndMaybe   => QEmpty
+      case TRequire    => QEmpty
+      case TNear(_, _) => QEmpty // leading NEAR: missing left operand
     }
 
     // `"a b"^2` lexes the boost as a separate trailing word token

@@ -146,4 +146,43 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
     assert(QueryParser.parse("\"the search results\"") ==
       QPhrase(List(("search", 0), ("results", 1))))
   }
+
+  test("span parser forms (D15): NEAR/ONEAR, OR coercion, graceful degrade") {
+    assert(QueryParser.parse("alpha NEAR beta") ==
+      QSpanNear(List(QTerm("alpha"), QTerm("beta")), 1, ordered = false))
+    assert(QueryParser.parse("alpha NEAR/3 beta") ==
+      QSpanNear(List(QTerm("alpha"), QTerm("beta")), 3, ordered = false))
+    assert(QueryParser.parse("alpha ONEAR/2 beta") ==
+      QSpanNear(List(QTerm("alpha"), QTerm("beta")), 2, ordered = true))
+    // left-associative chain nests
+    assert(QueryParser.parse("alpha NEAR/2 beta NEAR/2 gamma") ==
+      QSpanNear(List(
+        QSpanNear(List(QTerm("alpha"), QTerm("beta")), 2, ordered = false),
+        QTerm("gamma")), 2, ordered = false))
+    // a parenthesized OR of terms coerces to SpanOr
+    assert(QueryParser.parse("alpha ONEAR/2 (beta OR gamma)") ==
+      QSpanNear(List(QTerm("alpha"),
+        QSpanOr(List(QTerm("beta"), QTerm("gamma")))), 2, ordered = true))
+    // proximity binds tighter than AND
+    assert(QueryParser.parse("alpha NEAR beta AND gamma") ==
+      QAnd(List(
+        QSpanNear(List(QTerm("alpha"), QTerm("beta")), 1, ordered = false),
+        QTerm("gamma"))))
+    // field-qualified leaves keep their field
+    assert(QueryParser.parse("path:alpha ONEAR/4 path:beta") ==
+      QSpanNear(List(QTerm("alpha", "path"), QTerm("beta", "path")), 4,
+        ordered = true))
+    // degrade, never crash: missing operands, non-span-capable sides
+    assert(QueryParser.parse("NEAR alpha") == QTerm("alpha")
+      || QueryParser.parse("NEAR alpha") == QEmpty)
+    assert(QueryParser.parse("alpha NEAR") == QEmpty)
+    assert(QueryParser.parse("NEAR") == QEmpty)
+    // a single-surviving-token phrase IS a term -> span-capable; a real
+    // multi-term phrase is not (positions pattern != span) -> degrades
+    assert(QueryParser.parse("\"a phrase\" NEAR alpha") ==
+      QSpanNear(List(QTerm("phrase"), QTerm("alpha")), 1, ordered = false))
+    assert(QueryParser.parse("\"table scan\" NEAR alpha") == QEmpty)
+    assert(QueryParser.parse("(alpha AND beta) NEAR gamma") == QEmpty)
+    assert(QueryParser.parse("NEAR/0 NEAR/0") == QEmpty)
+  }
 }

@@ -398,6 +398,41 @@ class SparkIndexSpec extends AnyFunSuite {
       "e6" -> "* AND frequency"))
   }
 
+  test("span queries (D15): engine rank- and score-identical to oracle") {
+    import spark.implicits._
+    val rows = (0 until 150).map { i =>
+      CorpusRow(f"r${i % 5}", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(23L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("span")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 32))
+    val docs = refDocs(rows)
+    assertSearchesMatchOracle(dir, docs, Seq(
+      "s1" -> "w0000 NEAR w0001",
+      "s2" -> "w0000 NEAR/5 w0001",
+      "s3" -> "w0000 ONEAR/5 w0001",
+      "s4" -> "w0000 NEAR/3 w0001 NEAR/3 w0002",
+      "s5" -> "w0000 ONEAR/4 (w0001 OR w0002)",
+      "s6" -> "w0003 NEAR/6 w0004 AND w0000",
+      "s7" -> "needle ONEAR/2 beta"))
+    // SpanNot (programmatic, like Whoosh): w0000..w0001 windows not
+    // containing w0002, vs the brute-force oracle
+    val ref = new RefModel(docs)
+    val handle = Searcher.open(spark, dir)
+    val q = graft.search.QSpanNot(
+      graft.search.QSpanNear(List(graft.search.QTerm("w0000"),
+        graft.search.QTerm("w0001")), 6, ordered = true),
+      graft.search.QTerm("w0002"))
+    val hits = Searcher.searchQ(spark, handle, q, 10).collect().toSeq
+    val oracle = ref.search(q, 10)
+    assert(hits.map(_.docId) == oracle.map(_._1), s"spannot: $hits vs $oracle")
+    hits.zip(oracle).foreach { case (h, (_, s)) =>
+      assert(math.abs(h.score - s) <= 1e-6)
+    }
+    assert(hits.nonEmpty) // the query class actually exercises matches
+  }
+
   test("D14: Every/NOT queries read persisted pseudo lists, never docstats") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("evplan")
