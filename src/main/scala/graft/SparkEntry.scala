@@ -452,6 +452,27 @@ object SparkEntry {
       Searcher.searchSortedBy(s, handle, "merge", "path", asc = false, k = 10)
         .select(col("docId").as("docid"), col("path"))
     }),
+    // RangeFacet ([W] whoosh/sorting.py): matches binned by a numeric
+    // stored field — rawLen in [0, 10000) with gap 10, keyed by bucket lo
+    "ft_facet_range" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.facetRangeCounts(s, handle, "merge", "rawLen", 0, 10000, 10)
+        .select(col("rawLen_lo").cast("long").as("bucket_lo"),
+          col("count").cast("long").as("cnt"))
+    }),
+    // MultiFacet: compound (lang, repo) facet key over the match set
+    "ft_facet_multi" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.facetCountsMulti(s, handle, "merge", Seq("lang", "repo"))
+        .select(col("lang"), col("repo"), col("count").cast("long").as("cnt"))
+    }),
+    // multi-key sortedby: (lang asc, path desc), docid tiebreak
+    "ft_sortedby_multi" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      Searcher.searchSortedByKeys(s, handle, "merge",
+          Seq("lang" -> true, "path" -> false), k = 10)
+        .select(col("docId").as("docid"), col("lang"), col("path"))
+    }),
     // highlighting ([W] whoosh/highlight.py, decision D12): token-window
     // fragments with merged islands, matches wrapped in <b>
     "ft_highlight" -> ((s, dir) => {
@@ -990,6 +1011,24 @@ object SparkEntry {
       """ SELECT docid, path FROM ids WHERE docid IN
         | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
         | ORDER BY path DESC, docid ASC LIMIT 10""".stripMargin.replace("\n", " ")),
+    // range facet: rawlen bins of gap 10 over the 'merge' match set
+    "ft_facet_range" -> (cte +
+      """ SELECT (f.rawlen // 10) * 10 AS bucket_lo, count(*)::BIGINT AS cnt
+        | FROM flens f WHERE f.docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | AND f.rawlen >= 0 AND f.rawlen < 10000
+        | GROUP BY 1""".stripMargin.replace("\n", " ")),
+    // multi facet: compound (lang, repo) key over the 'merge' match set
+    "ft_facet_multi" -> (cte +
+      """ SELECT lang, repo, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | GROUP BY lang, repo""".stripMargin.replace("\n", " ")),
+    // multi-key sortedby: lang asc, path desc, docid asc tiebreak
+    "ft_sortedby_multi" -> (cte +
+      """ SELECT docid, lang, path FROM ids WHERE docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | ORDER BY lang ASC, path DESC, docid ASC LIMIT 10"""
+        .stripMargin.replace("\n", " ")),
     // highlighting (D12): raw-token islands merged at gap > 2*surround,
     // top-2 fragments by (matches desc, start asc), <b>-wrapped render
     "ft_highlight" -> (cte +

@@ -538,18 +538,69 @@ object Searcher {
       .agg(count(lit(1)).as("count"))
   }
 
+  /** FunctionFacet ([W] whoosh/sorting.py FunctionFacet): every match
+    * counted per value of an arbitrary Column expression over the stored
+    * docstats fields — the general form behind range and multi facets.
+    * Same scale shape as facetCounts: kernel match pass, one docId
+    * equi-join against docstats, one aggregation; content never read. */
+  def facetCountsExpr(spark: SparkSession, handle: IndexHandle, query: String,
+                      key: org.apache.spark.sql.Column, name: String): DataFrame = {
+    val ids = matchingIds(spark, handle, query).toDF("docId")
+    liveDocstats(spark, handle)
+      .join(ids, Seq("docId"))
+      .groupBy(key.as(name))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** RangeFacet ([W] whoosh/sorting.py RangeFacet(field, start, end, gap)):
+    * numeric binning — matches with field value in [start, end) counted
+    * per bucket, keyed by the bucket's inclusive lower bound. */
+  def facetRangeCounts(spark: SparkSession, handle: IndexHandle, query: String,
+                       field: String, start: Double, end: Double,
+                       gap: Double): DataFrame = {
+    require(gap > 0 && end > start, s"bad range facet: [$start, $end) gap $gap")
+    val ids = matchingIds(spark, handle, query).toDF("docId")
+    val v = col(field).cast("double")
+    liveDocstats(spark, handle)
+      .join(ids, Seq("docId"))
+      .filter(v >= start && v < end)
+      .groupBy((floor((v - lit(start)) / lit(gap)) * lit(gap) + lit(start))
+        .as(s"${field}_lo"))
+      .agg(count(lit(1)).as("count"))
+  }
+
+  /** MultiFacet ([W] whoosh/sorting.py MultiFacet): compound facet key —
+    * every match counted per combination of the given stored fields. */
+  def facetCountsMulti(spark: SparkSession, handle: IndexHandle, query: String,
+                       fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty)
+    val ids = matchingIds(spark, handle, query).toDF("docId")
+    liveDocstats(spark, handle)
+      .join(ids, Seq("docId"))
+      .groupBy(fields.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+  }
+
   /** Sorted search ([W] whoosh/sorting.py `sortedby`): the query's matches
     * ordered by a stored field instead of score. Catalyst plans the final
     * step as TakeOrderedAndProject over the joined match set — only k rows
     * reach the driver. */
   def searchSortedBy(spark: SparkSession, handle: IndexHandle, query: String,
-                     field: String, asc: Boolean = true, k: Int = 10): DataFrame = {
+                     field: String, asc: Boolean = true, k: Int = 10): DataFrame =
+    searchSortedByKeys(spark, handle, query, Seq(field -> asc), k)
+
+  /** multi-key `sortedby` (Whoosh sortedby=[...]): matches ordered by
+    * several stored fields, each with its own direction; docId asc is the
+    * final tiebreak. Same TakeOrderedAndProject shape as the single key. */
+  def searchSortedByKeys(spark: SparkSession, handle: IndexHandle, query: String,
+                         keys: Seq[(String, Boolean)], k: Int = 10): DataFrame = {
+    require(keys.nonEmpty)
     val ids = matchingIds(spark, handle, query).toDF("docId")
-    val key = if (asc) col(field).asc else col(field).desc
+    val order = keys.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
     liveDocstats(spark, handle)
       .join(ids, Seq("docId"))
-      .select(col("docId"), col(field))
-      .orderBy(key, col("docId").asc)
+      .select(col("docId") +: keys.map(kf => col(kf._1)): _*)
+      .orderBy(order :+ col("docId").asc: _*)
       .limit(k)
   }
 

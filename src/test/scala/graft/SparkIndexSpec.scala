@@ -398,6 +398,29 @@ class SparkIndexSpec extends AnyFunSuite {
       "e6" -> "* AND frequency"))
   }
 
+  test("facet variants: FunctionFacet expr == RangeFacet; multi facet keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val dir = SparkTestBase.tmpDir("facets")
+    IndexBuilder.build(spark, spark.createDataset(fixtureRows), dir,
+      IndexConfig(segSize = 2))
+    val handle = Searcher.open(spark, dir)
+    // the general FunctionFacet form reproduces the range facet exactly
+    val viaExpr = Searcher.facetCountsExpr(spark, handle, "search",
+        (floor(col("rawLen").cast("double") / lit(5.0)) * lit(5.0)).as("b"), "rawLen_lo")
+      .as[(Double, Long)].collect().toSet
+    val viaRange = Searcher.facetRangeCounts(spark, handle, "search",
+        "rawLen", 0, 10000, 5)
+      .as[(Double, Long)].collect().toSet
+    assert(viaExpr == viaRange && viaRange.nonEmpty)
+    // compound facet totals == single facet totals (same match set)
+    val multi = Searcher.facetCountsMulti(spark, handle, "search", Seq("lang", "repo"))
+      .as[(String, String, Long)].collect()
+    val single = Searcher.facetCounts(spark, handle, "search", "lang")
+      .as[(String, Long)].collect().toMap
+    assert(multi.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == single)
+  }
+
   test("span queries (D15): engine rank- and score-identical to oracle") {
     import spark.implicits._
     val rows = (0 until 150).map { i =>
