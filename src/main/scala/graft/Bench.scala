@@ -129,11 +129,66 @@ object Bench {
       name -> ts.sum / reps
     }
 
+    // ---- round-3/4 surfaces: Every/NOT (persisted pseudo lists), batch
+    // serving, multi-field, delete-laden. Timed per query and reported in
+    // the same queries map, but EXCLUDED from p50/p95 so percentiles stay
+    // comparable with earlier rounds' 10-query sweep (protocol note in
+    // BENCH/BASELINE.md). ----
+    val extras = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timeIt(name: String)(f: => Unit): Unit = {
+      f // warm-up
+      val ts = (0 until reps).map { _ =>
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }
+      extras += name -> (ts.sum / reps)
+    }
+    // pure negation: the D14 persisted match-all pseudo-list path
+    timeIt("q_every") { Searcher.search(spark, handle, "NOT w0004", 10).collect(); () }
+    // span proximity over the positional cursors
+    timeIt("q_spannear") {
+      Searcher.search(spark, handle, "w0000 NEAR/5 w0001", 10).collect(); ()
+    }
+    // the serving shape: all 10 base queries as ONE job
+    timeIt("q_batch10") {
+      Searcher.searchMany(spark, handle, queries, 10).collect(); ()
+    }
+    // multi-field: a path-field index built UNTIMED beside the content
+    // index (deterministic, cached in scratch); the two-field handle runs
+    // a field-qualified OR
+    locally {
+      import spark.implicits._
+      val pathIx = s"$scratch/ixpath-c$cpus-n$nDocs"
+      val pfs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(pathIx), spark.sparkContext.hadoopConfiguration)
+      if (!pfs.exists(new org.apache.hadoop.fs.Path(
+          graft.build.IndexBuilder.statsPath(pathIx)))) {
+        IndexBuilder.build(spark,
+          corpus.map(r => r.copy(content = r.path)), pathIx,
+          IndexConfig(segSize = segSize, sortPartitions = cpus * 2))
+      }
+      val mfFields = Seq(
+        graft.build.MultiFieldIndex.FieldSpec("content", _.content),
+        graft.build.MultiFieldIndex.FieldSpec("path", _.path))
+      val mh = new graft.search.MultiFieldSearcher.MultiHandle(ixDir, mfFields,
+        Map("content" -> handle, "path" -> Searcher.open(spark, pathIx)))
+      timeIt("q_field") {
+        graft.search.MultiFieldSearcher.search(spark, mh,
+          "w0003 OR path:f0000000042.scala^2", 10).collect(); ()
+      }
+    }
+    // delete-laden: tombstone 2% of docs, reopen (handles snapshot the
+    // delete set), remeasure the hot term and the pure-NOT query — the
+    // kernel's executor-side tombstone probe is on the path
+    graft.build.Deletes.add(spark, ixDir, 0L until math.max(1L, nDocs / 50L))
+    val handleDel = Searcher.open(spark, ixDir)
+    timeIt("q_term_del") { Searcher.search(spark, handleDel, "w0000", 10).collect(); () }
+    timeIt("q_every_del") { Searcher.search(spark, handleDel, "NOT w0004", 10).collect(); () }
+
     val sorted = lats.sorted
     def pct(p: Double) = sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
     val total = buildSec + lats.sum
 
-    val qJson = (("build" -> buildSec) +: perQuery)
+    val qJson = (("build" -> buildSec) +: (perQuery ++ extras))
       .map { case (k, v) => s""""$k":${f"$v%.4f"}""" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,""" +

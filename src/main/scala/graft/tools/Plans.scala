@@ -41,8 +41,12 @@ object Plans {
     println("==== full search plan (kernel + TakeOrderedAndProject) ====")
     Searcher.search(spark, handle, "w0001 OR w0042", 10).explain("formatted")
 
-    println("==== match-all plan (Every pseudo list from docstats) ====")
+    println("==== match-all plan (D14: PERSISTED Every pseudo rows ride the " +
+      "pushed term IN — expect NO docstats relation in this plan) ====")
     Searcher.search(spark, handle, "* NOT w0001", 10).explain("formatted")
+
+    println("==== span query plan (same pruned scan + kernel shape as AND/OR) ====")
+    Searcher.search(spark, handle, "w0001 ONEAR/4 w0042", 10).explain("formatted")
 
     println("==== ANN probe plan (expect PushedFilters: In(sig, ...), no object map) ====")
     import spark.implicits._
