@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.{IndexBuilder, MultiFieldIndex}
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
-import graft.ops.{Dedup, Multimodal, Similarity, TextQuality}
+import graft.ops.{Decontam, Dedup, Multimodal, Similarity, TextQuality}
 import graft.search.{MultiFieldSearcher, Searcher}
 import graft.streaming.StreamingIngest
 
@@ -244,6 +244,18 @@ object SparkEntry {
     "ft_topk_trange" -> ((s, dir) => topk(s, dir, "[qu TO sp]")),
     // fuzzy (Whoosh FuzzyTerm): banded Levenshtein <= 2, gram-pruned scan
     "ft_topk_fuzzy" -> ((s, dir) => topk(s, dir, "part~2")),
+    // morphological variations ([W] whoosh Variations / morph_en, D16):
+    // the candidate suffix family intersected with the lexicon (pushed IN)
+    "ft_topk_variations" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, graft.search.QVariations("merge"), kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // batch search: many queries, ONE job (union-pruned scan, shared
     // kernel pass per segment, per-query top-k window)
     "ft_search_many" -> ((s, dir) => {
@@ -572,6 +584,14 @@ object SparkEntry {
     "sp_sample" -> ((s, dir) =>
       graft.ops.Sampling.contentSample(docsTable(s, dir), "text", 250)
         .select(col("doc_id").cast("long").as("id"))),
+    // benchmark decontamination: flag docs sharing any 5-gram with the
+    // "eval set" (docs 0..9) — the n-gram-collision scrub
+    "dc_ngram_overlap" -> ((s, dir) =>
+      Decontam.flagNgramOverlap(docsTable(s, dir), "doc_id", "text",
+        docsTable(s, dir).filter(col("doc_id") < 10), "text", n = 5)),
+    // unigram log-probability scoring (relational LM-quality stand-in)
+    "ql_unigram" -> ((s, dir) =>
+      TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
     // text analysis: token counting, quality scoring, language id,
     // winnowing-style fingerprint
     "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
@@ -763,6 +783,14 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // variations (D16): the pinned candidate family for 'merge' (generated
+    // by the same rule set the engine uses — the SQL independently verifies
+    // lexicon intersection + boosted OR scoring over that set)
+    "ft_topk_variations" -> (cte + " " + rank(
+      s"""SELECT docid, sum(s) AS score FROM contrib WHERE term IN (${
+        graft.search.QVariations.candidates("merge").toSeq.sorted
+          .map(c => s"'$c'").mkString(",")
+      }) GROUP BY docid""")),
     // batch search: three independent rank queries tagged by qid
     "ft_search_many" -> (cte +
       s" SELECT 't' AS qid, docid, score FROM (${rank(
@@ -1162,6 +1190,32 @@ object SparkEntry {
         |  list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
         |    (a, x) -> a * 16 + x) % 1000 AS bucket FROM b)
         |SELECT doc_id AS id FROM v WHERE bucket < 250""".stripMargin.replace("\n", " "),
+    // decontamination: distinct shared 5-grams with the doc_id<10 bench set
+    "dc_ngram_overlap" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |    FOR i IN range(1, len(w)-3)])) AS ngram
+        |  FROM t WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 10),
+        |h AS (SELECT g.doc_id, count(*)::BIGINT AS hits FROM g JOIN b USING (ngram) GROUP BY 1)
+        |SELECT d.doc_id AS id, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+    // unigram log-prob under the corpus's own distribution
+    "ql_unigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+        |  FROM documents),
+        |cf AS (SELECT w, count(*)::DOUBLE AS cf FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cf) AS total FROM cf),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n,
+        |    avg(ln(cf / (SELECT total FROM tot))) AS lp
+        |  FROM tok JOIN cf USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(pd.n, 0)::BIGINT AS n_tokens,
+        |  round(coalesce(pd.lp, 0.0), 4) AS logprob
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
     "ql_tokens" ->
       """SELECT doc_id AS id,
         | len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,

@@ -85,6 +85,32 @@ object TextQuality {
       .toDF("id", "fingerprint")
   }
 
+  /** Unigram log-probability quality score (the cheap relational stand-in
+    * for LM-perplexity filtering in training pipelines): per doc, the mean
+    * natural-log probability of its word tokens under the CORPUS'S OWN
+    * unigram distribution (cf/total over lowercased \w+ tokens). Common
+    * text scores high (close to 0), gibberish/rare-heavy text scores low
+    * (strongly negative); empty docs pin to 0.0. Two aggregations (vocab
+    * stats, per-doc mean) + one broadcast of the scalar total — no
+    * corpus-wide collect; the vocab join shuffles token rows once. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      explode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")).as("w"))
+    val cf = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val totalDf = cf.agg(sum(col("cf")).cast("double").as("total"))
+    val perDoc = toks
+      .join(cf, Seq("w"))
+      .crossJoin(broadcast(totalDf))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("cf").cast("double") / col("total"))).as("lp"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("lp"), lit(0.0)), 4).as("logprob"))
+  }
+
   /** PII-style redaction for corpus scrubbing: emails -> <EMAIL>, dotted
     * IPv4s -> <IP>, 10+-digit runs -> <NUM>, applied IN THAT ORDER (so an
     * address's digits are consumed by the email rule first). Patterns are

@@ -57,8 +57,9 @@ object MultiFieldSearcher {
       case p: QPhrase   => p.copy(boost = p.boost * bf(p.field))
       case m: QPrefix   => m.copy(boost = m.boost * bf(m.field))
       case m: QWildcard => m.copy(boost = m.boost * bf(m.field))
-      case m: QFuzzy    => m.copy(boost = m.boost * bf(m.field))
-      case m: QRange    => m.copy(boost = m.boost * bf(m.field))
+      case m: QFuzzy      => m.copy(boost = m.boost * bf(m.field))
+      case m: QRange      => m.copy(boost = m.boost * bf(m.field))
+      case m: QVariations => m.copy(boost = m.boost * bf(m.field))
       case QAnd(cs)        => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
       case QOr(cs)         => QOr(cs.map(applyFieldBoosts(_, boostOf)))
       case QDisMax(cs, tb) => QDisMax(cs.map(applyFieldBoosts(_, boostOf)), tb)

@@ -236,6 +236,43 @@ object QFuzzy {
     prev(m)
   }
 }
+/** Morphological query expansion ([W] whoosh/query/terms.py `Variations`
+  * backed by whoosh/lang/morph_en.py): match inflectional variants of a
+  * word WITHOUT stemming the index. Decision D16 pins a compact,
+  * deterministic rule set (a simplification of morph_en's ruleset — that
+  * file is a large generated table; ours covers the regular English
+  * suffix family and is SQL-replicable): candidates =
+  * {w, w+s, w+es, w+ed, w+ing, w+d} ∪ e-aware adds {(w-e)+ing} ∪ strips
+  * {w-s, w-es, w-ed, (w-ed)+e, w-ing, (w-ing)+e, w-d} ∪ y/ies swaps
+  * {(w-y)+ies, (w-ies)+y}, each only when long enough, all lowercase,
+  * min length 2 — then intersected with the index lexicon like every
+  * multiterm (ascending order, MaxExpand cap). Programmatic surface, as
+  * in Whoosh (wired there via a parser termclass, not query syntax). */
+final case class QVariations(term: String, field: String = Q.DefaultField,
+                             boost: Double = 1.0) extends QMulti {
+  lazy val candidates: Set[String] = QVariations.candidates(term)
+  def matches(t: String): Boolean = candidates.contains(t)
+  def scanPrefix: String = ""
+}
+object QVariations {
+  def candidates(w0: String): Set[String] = {
+    val w = w0.toLowerCase(java.util.Locale.ROOT)
+    val n = w.length
+    val b = Set.newBuilder[String]
+    b += w
+    b += w + "s"; b += w + "es"; b += w + "ed"; b += w + "ing"; b += w + "d"
+    if (w.endsWith("e")) b += w.dropRight(1) + "ing"
+    if (w.endsWith("y") && n > 2) b += w.dropRight(1) + "ies"
+    if (w.endsWith("ies") && n > 4) b += w.dropRight(3) + "y"
+    if (w.endsWith("s") && n > 3) b += w.dropRight(1)
+    if (w.endsWith("es") && n > 4) b += w.dropRight(2)
+    if (w.endsWith("ed") && n > 4) { b += w.dropRight(2); b += w.dropRight(1) }
+    if (w.endsWith("d") && n > 3) b += w.dropRight(1)
+    if (w.endsWith("ing") && n > 5) { b += w.dropRight(3); b += w.dropRight(3) + "e" }
+    b.result().filter(_.length >= 2)
+  }
+}
+
 /** `[alpha TO beta]` (Whoosh TermRange, inclusive) */
 final case class QRange(lo: String, hi: String,
                         field: String = Q.DefaultField,

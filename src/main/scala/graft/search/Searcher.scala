@@ -107,6 +107,8 @@ object Searcher {
       }
 
     mq match {
+      case v: QVariations => // D16: a small enumerated set -> pushed IN
+        finish(handle.lexicon.filter($"term".isin(v.candidates.toSeq: _*)))
       case QRange(lo, hi, _, _) =>
         finish(handle.lexicon.filter($"term" >= lo && $"term" <= hi))
       case _: QPrefix =>

@@ -315,6 +315,54 @@ class OpsSpec extends AnyFunSuite {
       .forall(f => f.id % 3 == 2))
   }
 
+  test("decontamination: n-gram overlap flags vs brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),          // bench
+      (1L, "one two three four five six"),                  // bench
+      (2L, "xx alpha beta gamma delta epsilon yy"),         // shares a 5-gram
+      (3L, "alpha beta gamma delta zz epsilon"),            // only a 4-gram: clean
+      (4L, "one two three four five seven eight"),          // shares one 5-gram
+      (5L, "totally unrelated words here today now"),       // clean
+      (6L, "short doc")                                     // < n tokens: clean
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" < 2)
+    val out = graft.ops.Decontam.flagNgramOverlap(docs, "doc_id", "text", bench, "text", n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    def grams(s: String) = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      .sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSet
+    val benchSet = grams("alpha beta gamma delta epsilon zeta") ++
+      grams("one two three four five six")
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val expect = (grams(text) & benchSet).size.toLong
+      val got = out.find(_._1 == id).get
+      assert(got._2 == expect && got._3 == (expect > 0), s"doc $id: $got vs $expect")
+    }
+    // bench docs flag against themselves; the 4-gram-only doc stays clean
+    assert(out.find(_._1 == 3L).get._3 == false)
+    assert(out.find(_._1 == 2L).get._3 == true)
+    assert(out.find(_._1 == 6L).get._2 == 0L)
+  }
+
+  test("unigram log-prob: corpus-distribution mean vs brute force") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa aa bb"),   // common tokens
+      (1L, "aa cc"),      // one rare token
+      (2L, "")            // empty -> 0.0
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextQuality.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // corpus: aa x3, bb x1, cc x1 -> total 5
+    def lp(c: Double) = math.log(c / 5.0)
+    def r4(x: Double) = math.round(x * 1e4) / 1e4.toDouble
+    assert(out(0) == ((0L, 3L, r4((lp(3) + lp(3) + lp(1)) / 3.0))))
+    assert(out(1) == ((1L, 2L, r4((lp(3) + lp(1)) / 2.0))))
+    assert(out(2) == ((2L, 0L, 0.0)))
+    // ordering property: the rare-heavy doc scores below the common-heavy
+    assert(out(1)._3 < out(0)._3)
+  }
+
   test("text quality metrics pinned semantics") {
     import spark.implicits._
     val df = Seq((1L, "The cat sat on the mat... 123 ab_c!")).toDF("doc_id", "text")

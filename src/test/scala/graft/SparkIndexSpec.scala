@@ -398,6 +398,40 @@ class SparkIndexSpec extends AnyFunSuite {
       "e6" -> "* AND frequency"))
   }
 
+  test("variations (D16): inflectional expansion rank-identical to oracle") {
+    import spark.implicits._
+    // planted inflection family so the expansion is non-trivial
+    val forms = Array("merge", "merges", "merged", "merging", "merger", "join")
+    val rows = (0 until 60).map { i =>
+      val extra = forms(i % forms.length)
+      CorpusRow("r0", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(29L, i.toLong) + " " + extra)
+    }
+    val dir = SparkTestBase.tmpDir("vars")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir,
+      IndexConfig(segSize = 16))
+    val docs = refDocs(rows)
+    val ref = new RefModel(docs)
+    val handle = Searcher.open(spark, dir)
+    val q = graft.search.QVariations("merge")
+    // the candidate family covers the planted forms except the non-inflection
+    val cands = graft.search.QVariations.candidates("merge")
+    assert(Set("merge", "merges", "merged", "merging").subsetOf(cands))
+    assert(!cands.contains("merger") && !cands.contains("join"))
+    val hits = Searcher.searchQ(spark, handle, q, 10).collect().toSeq
+    val oracle = ref.search(q, 10)
+    assert(hits.map(_.docId) == oracle.map(_._1), s"$hits vs $oracle")
+    hits.zip(oracle).foreach { case (h, (_, s)) =>
+      assert(math.abs(h.score - s) <= 1e-6)
+    }
+    // expansion == the equivalent explicit OR over present lexicon terms
+    val present = cands.filter(c => spark.read.parquet(IndexBuilder.lexiconDir(dir))
+      .filter($"term" === c).count() > 0).toList.sorted
+    val orHits = Searcher.searchQ(spark, handle,
+      graft.search.QOr(present.map(graft.search.QTerm(_))), 10).collect().toSeq
+    assert(hits == orHits)
+  }
+
   test("facet variants: FunctionFacet expr == RangeFacet; multi facet keys") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, floor, lit}
