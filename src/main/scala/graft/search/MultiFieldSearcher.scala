@@ -60,6 +60,9 @@ object MultiFieldSearcher {
       case m: QFuzzy      => m.copy(boost = m.boost * bf(m.field))
       case m: QRange      => m.copy(boost = m.boost * bf(m.field))
       case m: QVariations => m.copy(boost = m.boost * bf(m.field))
+      case QSpanNear(cs, s, o) => QSpanNear(cs.map(applyFieldBoosts(_, boostOf)), s, o)
+      case QSpanOr(cs)     => QSpanOr(cs.map(applyFieldBoosts(_, boostOf)))
+      case QSpanNot(i, e)  => QSpanNot(applyFieldBoosts(i, boostOf), applyFieldBoosts(e, boostOf))
       case QAnd(cs)        => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
       case QOr(cs)         => QOr(cs.map(applyFieldBoosts(_, boostOf)))
       case QDisMax(cs, tb) => QDisMax(cs.map(applyFieldBoosts(_, boostOf)), tb)
@@ -94,6 +97,9 @@ object MultiFieldSearcher {
       case QNot(p, n)      => QNot(rec(p), rec(n))
       case QAndMaybe(p, m) => QAndMaybe(rec(p), rec(m))
       case QRequire(p, f)  => QRequire(rec(p), rec(f))
+      case QSpanNear(cs, s, o) => QSpanNear(cs.map(rec), s, o)
+      case QSpanOr(cs)     => QSpanOr(cs.map(rec))
+      case QSpanNot(i, e)  => QSpanNot(rec(i), rec(e))
       case other           => other
     }
     rec(q)
@@ -132,7 +138,32 @@ object MultiFieldSearcher {
       case c :: Nil => c
       case _        => dismax.map(QDisMax(cs, _)).getOrElse(QOr(cs))
     }
+    // span nodes are positional: their leaves must share one field, so an
+    // unqualified span tree replicates WHOLE per field (one positional
+    // check per field) rather than per leaf
+    def assignField(q: Q, f: String): Q = q match {
+      case t: QTerm if t.field == MultiSentinel     => t.copy(field = f)
+      case m: QPrefix if m.field == MultiSentinel   => m.copy(field = f)
+      case m: QWildcard if m.field == MultiSentinel => m.copy(field = f)
+      case m: QFuzzy if m.field == MultiSentinel    => m.copy(field = f)
+      case m: QRange if m.field == MultiSentinel    => m.copy(field = f)
+      case m: QVariations if m.field == MultiSentinel => m.copy(field = f)
+      case QSpanNear(cs, s, o) => QSpanNear(cs.map(assignField(_, f)), s, o)
+      case QSpanOr(cs)         => QSpanOr(cs.map(assignField(_, f)))
+      case QSpanNot(i, e)      => QSpanNot(assignField(i, f), assignField(e, f))
+      case other               => other
+    }
+    def hasSentinel(q: Q): Boolean = q.fieldTerms.exists(_._1 == MultiSentinel) ||
+      (q match {
+        case m: QMulti => m.field == MultiSentinel
+        case QSpanNear(cs, _, _) => cs.exists(hasSentinel)
+        case QSpanOr(cs)         => cs.exists(hasSentinel)
+        case QSpanNot(i, e)      => hasSentinel(i) || hasSentinel(e)
+        case _ => false
+      })
     def rec(q: Q): Q = q match {
+      case s @ (_: QSpanNear | _: QSpanOr | _: QSpanNot) =>
+        if (hasSentinel(s)) combine(fs.map(f => assignField(s, f)).toList) else s
       case t: QTerm if t.field == MultiSentinel =>
         combine(fs.map(f => t.copy(field = f)).toList)
       case p: QPhrase if p.field == MultiSentinel =>

@@ -187,6 +187,9 @@ object Searcher {
       case QAndMaybe(p, m) => QAndMaybe(rec(p), rec(m))
       case QRequire(p, f)  => QRequire(rec(p), rec(f))
       case QPureNot(n)     => QPureNot(rec(n))
+      case QSpanNear(cs, slop, ord) => QSpanNear(cs.map(rec), slop, ord)
+      case QSpanOr(cs)     => QSpanOr(cs.map(rec))
+      case QSpanNot(i, e)  => QSpanNot(rec(i), rec(e))
       case other           => other
     }
     rec(q0)

@@ -138,6 +138,26 @@ class MultiFieldSpec extends AnyFunSuite {
         assert(expanded.collect { case q: QTerm => q.field } == List("content", "head"))
       case other => fail(s"unexpected shape: $other")
     }
+    // a span tree replicates WHOLE per field (its leaves must share a
+    // field — one positional check per field), and its engine results
+    // match the per-field composed oracle
+    MultiFieldSearcher.parseMultifield("w0000 NEAR/4 w0001", mh) match {
+      case QOr(List(a: QSpanNear, b: QSpanNear)) =>
+        assert(a.cs.collect { case t: QTerm => t.field }.distinct == List("content"))
+        assert(b.cs.collect { case t: QTerm => t.field }.distinct == List("head"))
+      case other => fail(s"unexpected span rewrite: $other")
+    }
+    val spanHits = MultiFieldSearcher.searchMultifield(spark, mh,
+      "w0000 NEAR/4 w0001", 10).collect().toSeq
+    def spanLeaf(rm: RefModel, d: Long): Option[Double] =
+      rm.scoreDoc(QSpanNear(List(QTerm("w0000"), QTerm("w0001")), 4,
+        ordered = false), d)
+    val spanWant = (0L until rows.size.toLong).flatMap { d =>
+      val ss = Seq(spanLeaf(rmC, d), spanLeaf(rmH, d)).flatten
+      if (ss.isEmpty) None else Some((d, ss.sum))
+    }.sortBy { case (d, s) => (-s, d) }.take(10)
+    assert(spanHits.map(_.docId) == spanWant.map(_._1))
+    assert(spanHits.nonEmpty)
   }
 
   test("schema-time field boost multiplies into query-node boosts") {
