@@ -242,6 +242,12 @@ object SparkEntry {
     "ft_topk_wildcard" -> ((s, dir) => topk(s, dir, "s*a*")),
     // term range (Whoosh TermRange, inclusive): pushed >=/<= lexicon scan
     "ft_topk_trange" -> ((s, dir) => topk(s, dir, "[qu TO sp]")),
+    // exclusive-bracket range `{a TO b}` (both bounds excluded)
+    "ft_topk_range_excl" -> ((s, dir) => topk(s, dir, "{merge TO sort}")),
+    // open-ended range `[a TO]` (unbounded above)
+    "ft_topk_range_open" -> ((s, dir) => topk(s, dir, "[sp TO]")),
+    // GtLt sugar on a typed field: `size:>=v` == one-sided numeric range
+    "ft_topk_numgt" -> ((s, dir) => mfTopk(s, dir, "size:>=400")),
     // fuzzy (Whoosh FuzzyTerm): banded Levenshtein <= 2, gram-pruned scan
     "ft_topk_fuzzy" -> ((s, dir) => topk(s, dir, "part~2")),
     // morphological variations ([W] whoosh Variations / morph_en, D16):
@@ -592,6 +598,10 @@ object SparkEntry {
     // unigram log-probability scoring (relational LM-quality stand-in)
     "ql_unigram" -> ((s, dir) =>
       TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
+    // Gopher-style repetition filters: top-2-gram + duplicate-5-gram
+    // fractions (degenerate/boilerplate detectors)
+    "ql_repetition" -> ((s, dir) =>
+      TextQuality.repetitionStats(docsTable(s, dir), "doc_id", "text")),
     // text analysis: token counting, quality scoring, language id,
     // winnowing-style fingerprint
     "ql_tokens" -> ((s, dir) => TextQuality.tokenCounts(docsTable(s, dir), "doc_id", "text")),
@@ -779,6 +789,24 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE term >= 'qu' AND term <= 'sp' GROUP BY docid"""
         .stripMargin.replace("\n", " "))),
+    "ft_topk_range_excl" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib
+        | WHERE term > 'merge' AND term < 'sort' GROUP BY docid"""
+        .stripMargin.replace("\n", " "))),
+    "ft_topk_range_open" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM contrib
+        | WHERE term >= 'sp' GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // size:>=400 over the numeric field: one encoded term per doc
+    // (91 distinct values at sf0.01 -- inside the MaxExpand=128 cap, which
+    // the SQL below does not model)
+    // (fl = avgfl = 1), contribution = idf of the doc's value group
+    "ft_topk_numgt" -> (cte + " " + rank(
+      """SELECT i.docid,
+        |  ln((SELECT n FROM params)::DOUBLE / (c.cnt + 1.0)) + 1.0 AS score
+        | FROM ids i
+        | JOIN (SELECT length(content) AS len, count(*)::BIGINT AS cnt
+        |       FROM ids GROUP BY 1) c ON c.len = length(i.content)
+        | WHERE length(i.content) >= 400""".stripMargin.replace("\n", " "))),
     "ft_topk_fuzzy" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
@@ -1203,6 +1231,24 @@ object SparkEntry {
         |  coalesce(h.hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
         .stripMargin.replace("\n", " "),
+    // repetition fractions (pinned Gopher-style formulas)
+    "ql_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([w[i]||' '||w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 2),
+        |c2 AS (SELECT doc_id, max(cnt) AS mx FROM
+        |  (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, unnest(
+        |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |    FOR i IN range(1, len(w)-3)]) AS g
+        |  FROM t WHERE len(w) >= 5),
+        |c5 AS (SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup FROM
+        |  (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT t.doc_id AS id, len(t.w)::BIGINT AS n_tokens,
+        |  round(coalesce(c2.mx * 2.0 / len(t.w), 0.0), 4) AS top2gram_frac,
+        |  round(coalesce(least(1.0, c5.dup * 5.0 / len(t.w)), 0.0), 4) AS dup5gram_frac
+        |FROM t LEFT JOIN c2 ON c2.doc_id = t.doc_id
+        |LEFT JOIN c5 ON c5.doc_id = t.doc_id""".stripMargin.replace("\n", " "),
     // unigram log-prob under the corpus's own distribution
     "ql_unigram" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w

@@ -85,6 +85,37 @@ object TextQuality {
       .toDF("id", "fingerprint")
   }
 
+  /** Repetition quality signals (the Gopher/MassiveText repetition filters
+    * — Rae et al. 2021 §A1.1 use duplicate-line and duplicate/top-n-gram
+    * fractions to drop degenerate docs; the exact fractions here are pinned
+    * so the SQL oracle reproduces them):
+    *  - top2gram_frac: occurrences of the MOST FREQUENT word 2-gram x 2,
+    *    over the token count (0 when fewer than 2 tokens);
+    *  - dup5gram_frac: total occurrences of 5-grams that occur >= 2 times
+    *    x 5, over the token count, capped at 1.0 (0 when fewer than 5);
+    * high values = boilerplate/looping text. Tokens are lowercased \\w+,
+    * per-row computation only — embarrassingly parallel. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = Dedup.words(text)
+        val n = ws.length
+        def grams(k: Int): Map[String, Int] =
+          if (n < k) Map.empty
+          else ws.sliding(k).map(_.mkString(" ")).toSeq.groupBy(identity)
+            .map { case (g, occ) => g -> occ.size }
+        val g2 = grams(2)
+        val top2 = if (g2.isEmpty) 0.0 else g2.values.max.toDouble * 2.0 / n
+        val g5 = grams(5)
+        val dupOcc = g5.valuesIterator.filter(_ >= 2).sum
+        val dup5 = if (n < 5) 0.0 else math.min(1.0, dupOcc.toDouble * 5.0 / n)
+        (id, n.toLong, r4(top2), r4(dup5))
+      }
+      .toDF("id", "n_tokens", "top2gram_frac", "dup5gram_frac")
+  }
+
   /** Unigram log-probability quality score (the cheap relational stand-in
     * for LM-perplexity filtering in training pipelines): per doc, the mean
     * natural-log probability of its word tokens under the CORPUS'S OWN

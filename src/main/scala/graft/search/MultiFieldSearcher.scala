@@ -87,7 +87,10 @@ object MultiFieldSearcher {
       case t: QTerm if isTyped(t.field) =>
         enc(t.field, t.term).map(e => t.copy(term = e)).getOrElse(QEmpty)
       case r: QRange if isTyped(r.field) =>
-        (enc(r.field, r.lo), enc(r.field, r.hi)) match {
+        // null bound = unbounded side, passes through unencoded
+        def encB(v: String): Option[String] =
+          if (v == null) Some(null) else enc(r.field, v)
+        (encB(r.lo), encB(r.hi)) match {
           case (Some(lo), Some(hi)) => r.copy(lo = lo, hi = hi)
           case _                    => QEmpty
         }

@@ -273,15 +273,22 @@ object QVariations {
   }
 }
 
-/** `[alpha TO beta]` (Whoosh TermRange, inclusive) */
+/** `[alpha TO beta]` (Whoosh TermRange). Round-4 completes the Whoosh
+  * range surface: `{a TO b}` excludes a bound per bracket style (mixed
+  * `[a TO b}` allowed), an omitted side (`[a TO]`, `[TO b]`) leaves that
+  * end unbounded (null), and the GtLtPlugin forms `field:>v`, `>=`, `<`,
+  * `<=` parse to single-bound ranges. */
 final case class QRange(lo: String, hi: String,
                         field: String = Q.DefaultField,
-                        boost: Double = 1.0) extends QMulti {
-  def matches(t: String): Boolean = t >= lo && t <= hi
-  def scanPrefix: String = {
-    val common = lo.zip(hi).takeWhile { case (a, b) => a == b }.map(_._1)
-    common.mkString
-  }
+                        boost: Double = 1.0,
+                        minIncl: Boolean = true,
+                        maxIncl: Boolean = true) extends QMulti {
+  def matches(t: String): Boolean =
+    (lo == null || (if (minIncl) t >= lo else t > lo)) &&
+      (hi == null || (if (maxIncl) t <= hi else t < hi))
+  def scanPrefix: String =
+    if (lo == null || hi == null) ""
+    else lo.zip(hi).takeWhile { case (a, b) => a == b }.map(_._1).mkString
 }
 object QMulti { final val MaxExpand = 128 }
 /** Match-all (Whoosh `Every`): every live document matches with CONSTANT
@@ -363,7 +370,10 @@ object QueryParser {
   private sealed trait Tok
   private case class Word(s: String) extends Tok
   private case class Phrase(s: String) extends Tok
-  private case class RangeTok(lo: String, hi: String) extends Tok
+  private case class RangeTok(lo: String, hi: String,
+                              minIncl: Boolean, maxIncl: Boolean) extends Tok
+  /** bracket-range interior: optional lo, the TO keyword, optional hi */
+  private val RangeInner = "^\\s*(?:(\\S.*?)\\s+)?TO(?:\\s+(.*\\S))?\\s*$".r
   private case object TAnd extends Tok
   private case object TOr extends Tok
   private case object TNot extends Tok
@@ -385,14 +395,25 @@ object QueryParser {
       if (c.isWhitespace) i += 1
       else if (c == '(') { out += LP; i += 1 }
       else if (c == ')') { out += RP; i += 1 }
-      else if (c == '[') {
-        val j = s.indexOf(']', i + 1)
+      else if (c == '[' || c == '{') {
+        // Whoosh range brackets: [ ] inclusive, { } exclusive, mixed
+        // allowed ([a TO b}); an omitted side is unbounded
+        val j1 = s.indexOf(']', i + 1)
+        val j2 = s.indexOf('}', i + 1)
+        val j = (j1, j2) match {
+          case (-1, x)           => x
+          case (x, -1)           => x
+          case (a, b)            => math.min(a, b)
+        }
         val end = if (j < 0) n else j
         val inner = s.substring(i + 1, end)
-        inner.split("\\sTO\\s".r.regex) match {
-          case Array(lo, hi) =>
-            out += RangeTok(lo.trim.toLowerCase(java.util.Locale.ROOT),
-              hi.trim.toLowerCase(java.util.Locale.ROOT))
+        def lc(v: String): String =
+          if (v == null) null else v.toLowerCase(java.util.Locale.ROOT)
+        inner match {
+          case RangeInner(lo, hi) if lo != null || hi != null =>
+            out += RangeTok(lc(lo), lc(hi),
+              minIncl = c == '[',
+              maxIncl = j >= 0 && s.charAt(j) == ']')
           case _ => // malformed range: fall back to word tokens
             out ++= inner.split("\\s+").filter(_.nonEmpty).map(Word.apply)
         }
@@ -486,7 +507,7 @@ object QueryParser {
           case Some(TAndMaybe)                         => pop(); maybe = maybe :+ prox()
           case Some(TRequire)                          => pop(); reqs = reqs :+ prox()
           case Some(Word(_)) | Some(Phrase(_)) | Some(LP) |
-               Some(RangeTok(_, _))                    => pos = pos :+ prox()
+               Some(_: RangeTok)                       => pos = pos :+ prox()
           case _                                       => continue = false
         }
       }
@@ -551,16 +572,16 @@ object QueryParser {
               pop()
               val (slop, b) = trailingMods()
               phraseNode(p, field, boost * b, slop)
-            case Some(RangeTok(lo, hi)) =>
+            case Some(RangeTok(lo, hi, mi, ma)) =>
               pop()
-              QRange(lo, hi, field, boost)
+              QRange(lo, hi, field, boost, mi, ma)
             case _ => QEmpty // dangling `field:`
           }
         } else wordNode(w, field, boost, fieldOpt.isDefined)
       case Phrase(p) =>
         val (slop, b) = trailingMods()
         phraseNode(p, defaultField, b, slop)
-      case RangeTok(lo, hi) => QRange(lo, hi, defaultField)
+      case RangeTok(lo, hi, mi, ma) => QRange(lo, hi, defaultField, 1.0, mi, ma)
       case RP          => QEmpty
       case TAnd        => QEmpty
       case TOr         => QEmpty
@@ -601,6 +622,15 @@ object QueryParser {
       def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
       // bare `*` = all docs; `field:*` = docs where the field has a value
       if (w == "*") QEvery(boost, if (explicitField) field else "")
+      // GtLt forms (Whoosh GtLtPlugin): `field:>v` etc. -> one-sided range
+      else if (w.startsWith(">=") && w.length > 2)
+        QRange(lower(w.drop(2)), null, field, boost)
+      else if (w.startsWith("<=") && w.length > 2)
+        QRange(null, lower(w.drop(2)), field, boost)
+      else if (w.startsWith(">") && w.length > 1)
+        QRange(lower(w.drop(1)), null, field, boost, minIncl = false)
+      else if (w.startsWith("<") && w.length > 1)
+        QRange(null, lower(w.drop(1)), field, boost, maxIncl = false)
       else if (w.length > 1 && w.endsWith("*") && !w.init.exists(c => c == '*' || c == '?'))
         QPrefix(lower(w.init), field, boost)
       else if (w.exists(c => c == '*' || c == '?'))

@@ -109,8 +109,11 @@ object Searcher {
     mq match {
       case v: QVariations => // D16: a small enumerated set -> pushed IN
         finish(handle.lexicon.filter($"term".isin(v.candidates.toSeq: _*)))
-      case QRange(lo, hi, _, _) =>
-        finish(handle.lexicon.filter($"term" >= lo && $"term" <= hi))
+      case QRange(lo, hi, _, _, minI, maxI) =>
+        var df = handle.lexicon
+        if (lo != null) df = df.filter(if (minI) $"term" >= lo else $"term" > lo)
+        if (hi != null) df = df.filter(if (maxI) $"term" <= hi else $"term" < hi)
+        finish(df)
       case _: QPrefix =>
         finish(handle.lexicon.filter($"term".startsWith(mq.scanPrefix)))
       case w: QWildcard =>

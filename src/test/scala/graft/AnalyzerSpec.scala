@@ -120,7 +120,7 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
     assert(QueryParser.parse("\"search engine\"~x^y") ==
       QPhrase(List(("search", 0), ("engine", 1)))) // malformed mods drop
     assert(QueryParser.parse("size:[10 TO") ==
-      QTerm("10")) // unclosed range: dangling field drops, tokens degrade
+      QRange("10", null, "size", 1.0, true, false)) // unclosed: open-ended range (r4)
     assert(QueryParser.parse("[ TO ]") == QEmpty)
     assert(QueryParser.parse("~3") == QEmpty)
     assert(QueryParser.parse("*:*") == QEmpty
@@ -137,6 +137,26 @@ class AnalyzerSpec extends AnyFunSuite with PropSupport {
     assert(QueryParser.parse("saerch~") == QFuzzy("saerch", 1))
     assert(QueryParser.parse("saerch~2") == QFuzzy("saerch", 2))
     assert(QueryParser.parse("[apple TO cherry]") == QRange("apple", "cherry"))
+    // round-4 range surface: exclusive/mixed brackets, open ends, GtLt
+    assert(QueryParser.parse("{aa TO cc}") ==
+      QRange("aa", "cc", minIncl = false, maxIncl = false))
+    assert(QueryParser.parse("[aa TO cc}") ==
+      QRange("aa", "cc", maxIncl = false))
+    assert(QueryParser.parse("{aa TO cc]") ==
+      QRange("aa", "cc", minIncl = false))
+    assert(QueryParser.parse("[aa TO]") == QRange("aa", null))
+    assert(QueryParser.parse("[TO cc]") == QRange(null, "cc"))
+    assert(QueryParser.parse("size:>=5") == QRange("5", null, "size"))
+    assert(QueryParser.parse("size:>5") ==
+      QRange("5", null, "size", 1.0, false, true))
+    assert(QueryParser.parse("<=zz") == QRange(null, "zz"))
+    assert(QueryParser.parse("<zz") == QRange(null, "zz", Q.DefaultField, 1.0, true, false))
+    assert(QueryParser.parse(">") == QEmpty)
+    // range matches(): bound semantics
+    assert(QRange("b", "d", minIncl = false).matches("c"))
+    assert(!QRange("b", "d", minIncl = false).matches("b"))
+    assert(QRange("b", null).matches("zzz"))
+    assert(!QRange(null, "d", maxIncl = false).matches("d"))
     assert(QueryParser.parse("[aa TO cc] AND search") ==
       QAnd(List(QRange("aa", "cc"), QTerm("search"))))
     assert(QueryParser.parse("SEA* AND fast") == QAnd(List(QPrefix("sea"), QTerm("fast"))))

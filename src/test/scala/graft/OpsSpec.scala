@@ -363,6 +363,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1)._3 < out(0)._3)
   }
 
+  test("repetition stats: pinned Gopher-style fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b a b"),                 // top 2-gram 'a b' x3 -> 6/6
+      (1L, "x y z w v x y z w v"),         // dup 5-gram x2 -> 10/10
+      (2L, "all distinct words here now"), // no repetition
+      (3L, "one"),                         // < 2 tokens -> both 0
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextQuality.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((0L, 6L, 1.0, 0.0)))
+    assert(out(1) == ((1L, 10L, 0.4, 1.0)))
+    assert(out(2) == ((2L, 5L, 0.4, 0.0))) // max 2-gram count 1 -> 2/5
+    assert(out(3) == ((3L, 1L, 0.0, 0.0)))
+    assert(out(4) == ((4L, 0L, 0.0, 0.0)))
+  }
+
   test("text quality metrics pinned semantics") {
     import spark.implicits._
     val df = Seq((1L, "The cat sat on the mat... 123 ab_c!")).toDF("doc_id", "text")
