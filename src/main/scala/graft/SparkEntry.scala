@@ -324,6 +324,35 @@ object SparkEntry {
     "ft_topk_spannear" -> ((s, dir) => topk(s, dir, "merge ONEAR/3 join")),
     // unordered near (either side may come first within the window)
     "ft_topk_spannear_un" -> ((s, dir) => topk(s, dir, "merge NEAR/3 data")),
+    // SpanContains (programmatic): merge..join windows containing a 'data'
+    // position; intersection scoring (big + little)
+    "ft_topk_spancontains" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QSpanContains(
+        graft.search.QSpanNear(List(graft.search.QTerm("merge"),
+          graft.search.QTerm("join")), 5, ordered = true),
+        graft.search.QTerm("data"))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // SpanBefore (programmatic): a 'scan' strictly before a 'sort'
+    "ft_topk_spanbefore" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QSpanBefore(
+        graft.search.QTerm("scan"), graft.search.QTerm("sort"))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // SpanNot (programmatic, like Whoosh): merge..join windows with no
     // 'table' occurrence inside; scored by the incl side
     "ft_topk_spannot" -> ((s, dir) => {
@@ -903,6 +932,25 @@ object SparkEntry {
         |   WHERE t0.term = 'merge' AND NOT EXISTS (
         |     SELECT 1 FROM tokens t2 WHERE t2.docid = t0.docid
         |       AND t2.term = 'table' AND t2.pos BETWEEN t0.pos AND t1.pos))
+        | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
+    // span contains: a merge..join window (gap in [1,5]) CONTAINING a
+    // 'data' position; both sides required -> all three terms score
+    "ft_topk_spancontains" -> (cte + " " + rank(
+      """SELECT c.docid, sum(c.s) AS score FROM contrib c
+        | WHERE c.term IN ('merge','join','data') AND c.docid IN (
+        |   SELECT t0.docid FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+        |     AND t1.term = 'join' AND t1.pos - t0.pos BETWEEN 1 AND 5
+        |   WHERE t0.term = 'merge' AND EXISTS (
+        |     SELECT 1 FROM tokens t2 WHERE t2.docid = t0.docid
+        |       AND t2.term = 'data' AND t2.pos BETWEEN t0.pos AND t1.pos))
+        | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
+    // span before: some 'scan' occurrence strictly before a 'sort'
+    "ft_topk_spanbefore" -> (cte + " " + rank(
+      """SELECT c.docid, sum(c.s) AS score FROM contrib c
+        | WHERE c.term IN ('scan','sort') AND c.docid IN (
+        |   SELECT t0.docid FROM tokens t0 JOIN tokens t1 ON t1.docid = t0.docid
+        |     AND t1.term = 'sort' AND t0.pos < t1.pos
+        |   WHERE t0.term = 'scan')
         | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
     // TF_IDF weighting: score = sum over matching terms of idf * tf
     "ft_topk_tfidf" -> (cte + " " + rank(

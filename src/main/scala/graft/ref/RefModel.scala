@@ -99,6 +99,9 @@ final class RefModel(docs: Seq[(Long, String)],
       else Some(cs.flatMap(c => scoreDoc(c, docId)).sum)
     case QSpanNot(i, _) =>
       if (spansOf(q, docId).isEmpty) None else scoreDoc(i, docId)
+    case QSpanBi(a, b, _) => // both sides required; intersection scoring
+      if (spansOf(q, docId).isEmpty) None
+      else Some(Seq(scoreDoc(a, docId), scoreDoc(b, docId)).flatten.sum)
   }
 
   /** the doc's surviving spans for a span-capable node, None/empty = no
@@ -132,6 +135,19 @@ final class RefModel(docs: Seq[(Long, String)],
             is.filterNot { case (a1, a2) =>
               es.exists { case (b1, b2) => a1 <= b2 && b1 <= a2 } }
         }
+      }
+    case QSpanBi(a, b, mode) =>
+      for {
+        as <- spansOf(a, docId)
+        bs <- spansOf(b, docId)
+      } yield mode match {
+        case SpanConditionMode => as
+        case SpanBeforeMode =>
+          val maxBStart = bs.map(_._1).max
+          as.filter(_._2 < maxBStart)
+        case SpanContainsMode =>
+          as.filter { case (a1, a2) =>
+            bs.exists { case (b1, b2) => a1 <= b1 && b2 <= a2 } }
       }
     case _ => None
   }).filter(_.nonEmpty)

@@ -143,7 +143,7 @@ object Kernel {
       val fm = buildMatcher(f, lists, statsOf, w)
       if ((pm eq EmptyMatcher) || (fm eq EmptyMatcher)) EmptyMatcher
       else new RequireMatcher(pm, fm)
-    case sq @ (_: QSpanNear | _: QSpanOr | _: QSpanNot) =>
+    case sq @ (_: QSpanNear | _: QSpanOr | _: QSpanNot | _: QSpanBi) =>
       buildSpanNode(sq, lists, statsOf, w)
         .map(new SpanScorer(_): Matcher).getOrElse(EmptyMatcher)
   }
@@ -178,6 +178,11 @@ object Kernel {
           case Some(en) => new SpanNotNode(in, en)
         }
       }
+    case QSpanBi(a, b, mode) => // both sides REQUIRED (intersection)
+      for {
+        an <- buildSpanNode(a, lists, statsOf, w)
+        bn <- buildSpanNode(b, lists, statsOf, w)
+      } yield new SpanBiNode(an, bn, mode)
     case _ => None
   }
 

@@ -494,6 +494,82 @@ final class SpanNotNode(incl: SpanNode, excl: SpanNode) extends SpanNode {
   def score: Double = incl.score
 }
 
+/** SpanContains / SpanBefore / SpanCondition ([W] whoosh/spans.py): both
+  * sides must match the doc (intersection scoring a + b); the surviving
+  * spans are a's, filtered per mode — Contains keeps a spans containing a
+  * b span, Before keeps a spans ending before some b span starts,
+  * Condition keeps all (b is a pure same-doc condition). */
+final class SpanBiNode(a: SpanNode, b: SpanNode,
+                       mode: SpanBiMode) extends SpanNode {
+  val maxScore: Double = a.maxScore + b.maxScore
+  private var cur = Long.MaxValue
+  private var curSpans: Array[Int] = null
+  seek(0L)
+
+  private def surviving(): Array[Int] = mode match {
+    case SpanConditionMode => a.spans
+    case SpanBeforeMode =>
+      val as = a.spans
+      val bs = b.spans
+      var maxBStart = Int.MinValue
+      var j = 0
+      while (j < bs.length) {
+        if (bs(j) > maxBStart) maxBStart = bs(j)
+        j += 2
+      }
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < as.length) {
+        if (as(i + 1) < maxBStart) { keep += as(i); keep += as(i + 1) }
+        i += 2
+      }
+      keep.toArray
+    case SpanContainsMode =>
+      val as = a.spans
+      val bs = b.spans
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < as.length) {
+        var hit = false
+        var j = 0
+        while (!hit && j < bs.length) {
+          if (as(i) <= bs(j) && bs(j + 1) <= as(i + 1)) hit = true
+          j += 2
+        }
+        if (hit) { keep += as(i); keep += as(i + 1) }
+        i += 2
+      }
+      keep.toArray
+  }
+
+  private def seek(from: Long): Unit = {
+    var target = math.max(from, a.docId)
+    var done = false
+    while (!done) {
+      // leapfrog a and b to a common doc
+      if (a.docId < target) a.skipTo(target)
+      if (a.docId == Long.MaxValue) { cur = Long.MaxValue; done = true }
+      else {
+        target = a.docId
+        if (b.docId < target) b.skipTo(target)
+        if (b.docId == Long.MaxValue) { cur = Long.MaxValue; done = true }
+        else if (b.docId > target) target = b.docId
+        else {
+          val s = surviving()
+          if (s.nonEmpty) { cur = target; curSpans = s; done = true }
+          else { a.skipTo(target + 1); target = a.docId }
+        }
+      }
+    }
+  }
+
+  def docId: Long = cur
+  def advance(): Unit = if (cur != Long.MaxValue) seek(cur + 1)
+  def skipTo(target: Long): Unit = if (cur < target) seek(target)
+  def spans: Array[Int] = curSpans
+  def score: Double = a.score + b.score
+}
+
 /** adapts a span tree root to the ordinary Matcher contract */
 final class SpanScorer(root: SpanNode) extends Matcher {
   val maxScore: Double = root.maxScore

@@ -63,6 +63,7 @@ object MultiFieldSearcher {
       case QSpanNear(cs, s, o) => QSpanNear(cs.map(applyFieldBoosts(_, boostOf)), s, o)
       case QSpanOr(cs)     => QSpanOr(cs.map(applyFieldBoosts(_, boostOf)))
       case QSpanNot(i, e)  => QSpanNot(applyFieldBoosts(i, boostOf), applyFieldBoosts(e, boostOf))
+      case QSpanBi(a, b, m) => QSpanBi(applyFieldBoosts(a, boostOf), applyFieldBoosts(b, boostOf), m)
       case QAnd(cs)        => QAnd(cs.map(applyFieldBoosts(_, boostOf)))
       case QOr(cs)         => QOr(cs.map(applyFieldBoosts(_, boostOf)))
       case QDisMax(cs, tb) => QDisMax(cs.map(applyFieldBoosts(_, boostOf)), tb)
@@ -103,6 +104,7 @@ object MultiFieldSearcher {
       case QSpanNear(cs, s, o) => QSpanNear(cs.map(rec), s, o)
       case QSpanOr(cs)     => QSpanOr(cs.map(rec))
       case QSpanNot(i, e)  => QSpanNot(rec(i), rec(e))
+      case QSpanBi(a, b, m) => QSpanBi(rec(a), rec(b), m)
       case other           => other
     }
     rec(q)
@@ -154,6 +156,7 @@ object MultiFieldSearcher {
       case QSpanNear(cs, s, o) => QSpanNear(cs.map(assignField(_, f)), s, o)
       case QSpanOr(cs)         => QSpanOr(cs.map(assignField(_, f)))
       case QSpanNot(i, e)      => QSpanNot(assignField(i, f), assignField(e, f))
+      case QSpanBi(a, b, m)    => QSpanBi(assignField(a, f), assignField(b, f), m)
       case other               => other
     }
     def hasSentinel(q: Q): Boolean = q.fieldTerms.exists(_._1 == MultiSentinel) ||
@@ -162,10 +165,11 @@ object MultiFieldSearcher {
         case QSpanNear(cs, _, _) => cs.exists(hasSentinel)
         case QSpanOr(cs)         => cs.exists(hasSentinel)
         case QSpanNot(i, e)      => hasSentinel(i) || hasSentinel(e)
+        case QSpanBi(a, b, _)    => hasSentinel(a) || hasSentinel(b)
         case _ => false
       })
     def rec(q: Q): Q = q match {
-      case s @ (_: QSpanNear | _: QSpanOr | _: QSpanNot) =>
+      case s @ (_: QSpanNear | _: QSpanOr | _: QSpanNot | _: QSpanBi) =>
         if (hasSentinel(s)) combine(fs.map(f => assignField(s, f)).toList) else s
       case t: QTerm if t.field == MultiSentinel =>
         combine(fs.map(f => t.copy(field = f)).toList)

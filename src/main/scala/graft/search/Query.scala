@@ -26,6 +26,7 @@ sealed trait Q extends Serializable {
     case QSpanNear(cs, _, _) => cs.flatMap(_.fieldTerms).toSet
     case QSpanOr(cs)       => cs.flatMap(_.fieldTerms).toSet
     case QSpanNot(i, e)    => i.fieldTerms ++ e.fieldTerms
+    case QSpanBi(a, b, _)  => a.fieldTerms ++ b.fieldTerms
     case _: QMulti         => Set.empty
     case QPureNot(n)       => n.fieldTerms
     case _: QEvery         => Set.empty
@@ -44,6 +45,7 @@ sealed trait Q extends Serializable {
     case QAndMaybe(p, m)   => p.positiveFieldTerms ++ m.positiveFieldTerms
     case QRequire(p, f)    => p.positiveFieldTerms ++ f.positiveFieldTerms
     case QSpanNot(i, _)    => i.positiveFieldTerms // excl side never matches
+    case QSpanBi(a, b, _)  => a.positiveFieldTerms ++ b.positiveFieldTerms
     case other             => other.fieldTerms
   }
   def positiveTerms: Set[String] = positiveFieldTerms.map(_._2)
@@ -58,6 +60,7 @@ sealed trait Q extends Serializable {
     case QSpanNear(cs, _, _) => cs.exists(_.hasPrefix)
     case QSpanOr(cs)     => cs.exists(_.hasPrefix)
     case QSpanNot(i, e)  => i.hasPrefix || e.hasPrefix
+    case QSpanBi(a, b, _) => a.hasPrefix || b.hasPrefix
     case _               => false
   }
   /** fields of the tree's match-all nodes ("" = the all-docs Every); each
@@ -102,6 +105,7 @@ object Q {
     case s: QSpanNear => s
     case s: QSpanOr   => s
     case s: QSpanNot  => s
+    case s: QSpanBi   => s
     case m: QMulti    => m
     case QOr(cs) =>
       val es = cs.map(spanify)
@@ -167,6 +171,25 @@ final case class QSpanNear(cs: List[Q], slop: Int = 1,
                            ordered: Boolean = true) extends Q
 final case class QSpanOr(cs: List[Q]) extends Q
 final case class QSpanNot(incl: Q, excl: Q) extends Q
+
+/** The remaining Whoosh span bi-operators ([W] whoosh/spans.py
+  * SpanContains / SpanBefore / SpanCondition), one node with a mode —
+  * all three require BOTH sides to match the doc (intersection scoring:
+  * a's score + b's score) and differ only in which of a's spans survive:
+  *  - Contains: a spans that CONTAIN some b span
+  *    (a.start <= b.start && b.end <= a.end);
+  *  - Before: a spans that END before some b span STARTS (a.end < b.start
+  *    for some b — i.e. a.end < the doc's max b start);
+  *  - Condition: ALL of a's spans (b is a pure same-doc condition, exactly
+  *    Whoosh's "use a's spans but require b"). Programmatic surface. */
+sealed abstract class SpanBiMode(val name: String)
+case object SpanContainsMode extends SpanBiMode("contains")
+case object SpanBeforeMode extends SpanBiMode("before")
+case object SpanConditionMode extends SpanBiMode("condition")
+final case class QSpanBi(a: Q, b: Q, mode: SpanBiMode) extends Q
+object QSpanContains { def apply(big: Q, little: Q): QSpanBi = QSpanBi(big, little, SpanContainsMode) }
+object QSpanBefore { def apply(a: Q, b: Q): QSpanBi = QSpanBi(a, b, SpanBeforeMode) }
+object QSpanCondition { def apply(a: Q, b: Q): QSpanBi = QSpanBi(a, b, SpanConditionMode) }
 /** Multiterm queries (the reference surface beyond the pinned set —
   * SURVEY.md §2.6 "Prefix, Wildcard, FuzzyTerm, TermRange"): each expands
   * driver-side against the global lexicon into an OR over the first
@@ -356,6 +379,10 @@ object QueryRewrite {
       val ie = Q.spanify(expandPrefixes(i, scan))
       val ee = Q.spanify(expandPrefixes(e, scan))
       if (ie == QEmpty) QEmpty else if (ee == QEmpty) ie else QSpanNot(ie, ee)
+    case QSpanBi(a, b, m) =>
+      val ae = Q.spanify(expandPrefixes(a, scan))
+      val be = Q.spanify(expandPrefixes(b, scan))
+      if (ae == QEmpty || be == QEmpty) QEmpty else QSpanBi(ae, be, m)
     case other => other
   }
   private def es2or(cs: List[Q]): Q = cs.filterNot(_ == QEmpty) match {

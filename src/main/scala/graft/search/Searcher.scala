@@ -193,6 +193,7 @@ object Searcher {
       case QSpanNear(cs, slop, ord) => QSpanNear(cs.map(rec), slop, ord)
       case QSpanOr(cs)     => QSpanOr(cs.map(rec))
       case QSpanNot(i, e)  => QSpanNot(rec(i), rec(e))
+      case QSpanBi(a, b, m) => QSpanBi(rec(a), rec(b), m)
       case other           => other
     }
     rec(q0)

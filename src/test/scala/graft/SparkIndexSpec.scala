@@ -488,6 +488,22 @@ class SparkIndexSpec extends AnyFunSuite {
       assert(math.abs(h.score - s) <= 1e-6)
     }
     assert(hits.nonEmpty) // the query class actually exercises matches
+
+    // bi-operators: Contains / Before / Condition vs the oracle
+    import graft.search.{QSpanBefore, QSpanCondition, QSpanContains, QSpanNear => SN, QTerm => T}
+    val biQueries = Seq(
+      "contains" -> QSpanContains(SN(List(T("w0000"), T("w0001")), 6, ordered = true), T("w0002")),
+      "before" -> QSpanBefore(T("w0003"), T("w0004")),
+      "condition" -> QSpanCondition(SN(List(T("w0000"), T("w0001")), 3, ordered = false), T("w0005")))
+    biQueries.foreach { case (name, bq) =>
+      val h2 = Searcher.searchQ(spark, handle, bq, 10).collect().toSeq
+      val o2 = ref.search(bq, 10)
+      assert(h2.map(_.docId) == o2.map(_._1), s"$name: $h2 vs $o2")
+      h2.zip(o2).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-6, name)
+      }
+      assert(h2.nonEmpty, s"$name matched nothing - weak test")
+    }
   }
 
   test("D14: Every/NOT queries read persisted pseudo lists, never docstats") {
