@@ -172,8 +172,9 @@ object Bench {
       val mh = new graft.search.MultiFieldSearcher.MultiHandle(ixDir, mfFields,
         Map("content" -> handle, "path" -> Searcher.open(spark, pathIx)))
       timeIt("q_field") {
+        // doc 40's synth path is src/f0000000040.scala (ext cycles i%5)
         graft.search.MultiFieldSearcher.search(spark, mh,
-          "w0003 OR path:f0000000042.scala^2", 10).collect(); ()
+          "w0003 OR path:f0000000040.scala^2", 10).collect(); ()
       }
     }
     // delete-laden: tombstone 2% of docs, reopen (handles snapshot the
