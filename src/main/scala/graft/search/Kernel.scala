@@ -53,6 +53,7 @@ object Kernel {
       else java.lang.Long.compare(a.docId, b.docId)
     private val pq = scala.collection.mutable.PriorityQueue.empty[Hit](ord)
 
+    def size: Int = pq.size
     def threshold: Double = if (pq.size < k) Double.NegativeInfinity else pq.head.score
     def offer(docId: Long, score: Double): Unit = {
       if (pq.size < k) pq.enqueue(Hit(docId, score))
@@ -217,6 +218,21 @@ object Kernel {
         buildMatcher(q, lists, statsOf, w) match {
           case tm: TermMatcher => singleTerm(tm, heap, deleted)
           case _               => ()
+        }
+      case _ if prune =>
+        // saturation early-exit: docs stream in ascending docId, so once
+        // the heap holds k hits and its k-th score >= the tree's GLOBAL
+        // upper bound, no later doc can beat it (a tie loses on docId,
+        // D4). For constant-score roots (Every / pure NOT, maxScore =
+        // boost) this terminates after the first k live matches instead
+        // of scanning the segment's whole doc list.
+        val m = buildMatcher(q, lists, statsOf, w)
+        val cap = m.maxScore
+        var done = false
+        while (!done && m.docId != Long.MaxValue) {
+          if (!deleted(m.docId)) heap.offer(m.docId, m.score)
+          if (heap.size >= k && heap.threshold >= cap) done = true
+          else m.advance()
         }
       case _ =>
         val m = buildMatcher(q, lists, statsOf, w)
