@@ -1,0 +1,108 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.build.{Deletes, IndexAdmin, IndexBuilder}
+import graft.build.IndexBuilder.IndexConfig
+import graft.model.{CorpusRow, IndexStats}
+import graft.search.{BM25Weighting, Searcher, Weighting}
+import graft.search.Searcher.SearchHit
+
+/** The reference's client-API verbs mapped 1:1 onto the library
+  * ([R] mosuka/cockatrice client surface: create_index / get_index /
+  * delete_index, put_document(s) / get_document / delete_document(s),
+  * search_documents(query, page_num, page_len, weighting),
+  * delete_documents-by-query, optimize_index) — so a cockatrice user's
+  * call sites translate verb-for-verb. Single-field (content) flavor;
+  * multi-field schemas go through SchemaConfig/MultiFieldIndex +
+  * MultiFieldSearcher, and the Raft/replication verbs have no analog
+  * (durability here is the manifest commit protocol + the storage layer).
+  *
+  * Serving note: `searchDocuments(indexDir, ...)` opens a handle per call
+  * for API fidelity; a real serving loop should `Searcher.open` once and
+  * use the handle overload (handles snapshot the index — reopen after
+  * put/delete/optimize, exactly like the reference reopens searchers). */
+object Engine {
+
+  /** create_index: an empty but fully usable index — stats carry the
+    * segSize and analyzer chain every later put must honor. */
+  def createIndex(spark: SparkSession, indexDir: String,
+                  cfg: IndexConfig = IndexConfig()): IndexStats = {
+    require(!IndexAdmin.exists(spark, indexDir), s"index exists: $indexDir")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(indexDir))
+    val st = IndexStats(numDocs = 0, totalFieldLen = 0, numSegments = 0,
+      segSize = cfg.segSize, analyzer = cfg.analyzer.asString)
+    IndexBuilder.writeStats(fs, indexDir, st)
+    st
+  }
+
+  /** get_index: stats, or None when absent */
+  def getIndex(spark: SparkSession, indexDir: String): Option[IndexStats] =
+    if (IndexAdmin.exists(spark, indexDir)) Some(IndexAdmin.stats(spark, indexDir))
+    else None
+
+  def indexExists(spark: SparkSession, indexDir: String): Boolean =
+    IndexAdmin.exists(spark, indexDir)
+
+  /** delete_index: true if it existed */
+  def deleteIndex(spark: SparkSession, indexDir: String): Boolean =
+    IndexAdmin.delete(spark, indexDir)
+
+  /** put_documents: upsert by unique key (repo, path, commit) — putting an
+    * existing key is delete-then-add, the reference's put semantics */
+  def putDocuments(spark: SparkSession, indexDir: String,
+                   docs: Dataset[CorpusRow]): IndexStats =
+    graft.streaming.StreamingIngest.upsert(spark, docs, indexDir)
+
+  def putDocument(spark: SparkSession, indexDir: String, doc: CorpusRow): IndexStats = {
+    import spark.implicits._
+    putDocuments(spark, indexDir, Seq(doc).toDS())
+  }
+
+  /** get_document: stored fields for one docId (None if absent/deleted) */
+  def getDocument(spark: SparkSession, indexDir: String,
+                  docId: Long): Option[org.apache.spark.sql.Row] = {
+    val handle = Searcher.open(spark, indexDir)
+    if (handle.liveSegIds.isEmpty) None
+    else Searcher.getDocuments(spark, handle, Seq(docId)).collect().headOption
+  }
+
+  /** delete_documents by id: tombstoned now, purged at optimize */
+  def deleteDocuments(spark: SparkSession, indexDir: String,
+                      ids: Seq[Long]): Unit =
+    Deletes.add(spark, indexDir, ids)
+
+  /** delete by query (the reference deletes by id or query) */
+  def deleteByQuery(spark: SparkSession, indexDir: String, query: String): Unit =
+    Deletes.byQuery(spark, indexDir, query)
+
+  /** search_documents(query, page_num, page_len, weighting): one page of
+    * scored hits, identical paging/tie semantics to the reference's
+    * search_page */
+  def searchDocuments(spark: SparkSession, indexDir: String, query: String,
+                      pageNum: Int = 1, pageLen: Int = 10,
+                      weighting: Weighting = BM25Weighting): Seq[SearchHit] =
+    searchDocuments(spark, Searcher.open(spark, indexDir), query, pageNum,
+      pageLen, weighting)
+
+  /** serving-path overload over a long-lived handle */
+  def searchDocuments(spark: SparkSession, handle: Searcher.IndexHandle,
+                      query: String, pageNum: Int, pageLen: Int,
+                      weighting: Weighting): Seq[SearchHit] = {
+    require(pageNum >= 1 && pageLen >= 1)
+    Searcher.search(spark, handle, query, pageNum * pageLen, weighting = weighting)
+      .collect().toSeq
+      .slice((pageNum - 1) * pageLen, pageNum * pageLen)
+  }
+
+  /** hits joined with stored fields (the reference returns documents) */
+  def searchWithFields(spark: SparkSession, indexDir: String, query: String,
+                       k: Int = 10): DataFrame =
+    Searcher.searchWithFields(spark, Searcher.open(spark, indexDir), query, k)
+
+  /** optimize_index: compact to one segment, physically purging deletes */
+  def optimizeIndex(spark: SparkSession, indexDir: String): Unit =
+    graft.merge.Merger.optimize(spark, indexDir)
+}

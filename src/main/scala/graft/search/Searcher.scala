@@ -59,8 +59,14 @@ object Searcher {
     // partition-pruning predicate on the segId directory column.
     val manifests = IndexBuilder.readManifests(fs, indexDir)
     val liveSegs = manifests.map(_.segId)
-    val segments = spark.read.parquet(IndexBuilder.segmentsDir(indexDir))
-      .filter(col("segId").isin(liveSegs: _*))
+    // a freshly created index (Engine.createIndex) has stats but no
+    // segments yet — empty relations keep every search path total
+    val segments =
+      if (liveSegs.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[SegRead].toDF()
+      } else spark.read.parquet(IndexBuilder.segmentsDir(indexDir))
+        .filter(col("segId").isin(liveSegs: _*))
     // deletes: one listing; per-segment sidecars resolve through the
     // manifest's build-layout `covers` so tombstones stay addressable after
     // compactions that mint fresh segIds
@@ -74,9 +80,14 @@ object Searcher {
       if (fs.exists(new org.apache.hadoop.fs.Path(IndexBuilder.lexgramsDir(indexDir))))
         Some(spark.read.parquet(IndexBuilder.lexgramsDir(indexDir)))
       else None
+    val lexicon =
+      if (liveSegs.isEmpty) {
+        import spark.implicits._
+        spark.emptyDataset[graft.model.LexRow].toDF()
+      } else spark.read.parquet(IndexBuilder.lexiconDir(indexDir))
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
       st.segSize, segments,
-      spark.read.parquet(IndexBuilder.lexiconDir(indexDir)),
+      lexicon,
       delRanges,
       new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)),
       lexgrams,

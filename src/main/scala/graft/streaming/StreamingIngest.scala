@@ -30,14 +30,22 @@ object StreamingIngest {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val existing = IndexBuilder.readManifests(fs, indexDir)
-    val (segIdBase, segSize, analyzer) =
-      if (existing.isEmpty) (0, cfg.segSize, cfg.analyzer)
-      else {
-        val st = IndexBuilder.readStats(fs, indexDir)
-        // appended segments MUST analyze with the index's own chain
-        (existing.map(_.segId).max + 1, st.segSize,
+    // an index created empty (Engine.createIndex) carries authoritative
+    // stats before its first segment exists — appended segments MUST use
+    // the INDEX's segSize and analyzer chain, not the caller's cfg
+    val statsOpt =
+      if (fs.exists(new org.apache.hadoop.fs.Path(IndexBuilder.statsPath(indexDir))))
+        Some(IndexBuilder.readStats(fs, indexDir))
+      else None
+    val (segIdBase, segSize, analyzer) = (existing, statsOpt) match {
+      case (Seq(), None) => (0, cfg.segSize, cfg.analyzer)
+      case (Seq(), Some(st)) =>
+        (0, st.segSize, graft.analysis.AnalyzerSpec.fromString(st.analyzer))
+      case (ms, Some(st)) =>
+        (ms.map(_.segId).max + 1, st.segSize,
           graft.analysis.AnalyzerSpec.fromString(st.analyzer))
-      }
+      case (ms, None) => (ms.map(_.segId).max + 1, cfg.segSize, cfg.analyzer)
+    }
     val docIdBase = segIdBase.toLong * segSize
 
     val n = batch.count()
@@ -88,11 +96,14 @@ object StreamingIngest {
     val fsUp = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val liveSegs = IndexBuilder.readManifests(fsUp, indexDir).map(_.segId)
-    val existing = spark.read.parquet(IndexBuilder.docstatsDir(indexDir))
-      .filter($"segId".isin(liveSegs: _*))
-      .select($"docId", $"repo", $"path", $"commit")
-      .join(org.apache.spark.sql.functions.broadcast(keys), Seq("repo", "path", "commit"))
-      .select($"docId").as[Long].collect()
+    // a created-but-empty index has no docstats yet: nothing to replace
+    val existing =
+      if (liveSegs.isEmpty) Array.empty[Long]
+      else spark.read.parquet(IndexBuilder.docstatsDir(indexDir))
+        .filter($"segId".isin(liveSegs: _*))
+        .select($"docId", $"repo", $"path", $"commit")
+        .join(org.apache.spark.sql.functions.broadcast(keys), Seq("repo", "path", "commit"))
+        .select($"docId").as[Long].collect()
     if (existing.nonEmpty) graft.build.Deletes.add(spark, indexDir, existing.toSeq)
     append(spark, batch, indexDir, cfg)
   }
