@@ -152,6 +152,19 @@ object Bench {
     timeIt("q_batch10") {
       Searcher.searchMany(spark, handle, queries, 10).collect(); ()
     }
+    // round-5: SpanFirst over the positional cursors (early-position filter)
+    timeIt("q_spanfirst") {
+      Searcher.searchQ(spark, handle,
+        graft.search.QSpanFirst(graft.search.QTerm("w0000"), 16), 10)
+        .collect(); ()
+    }
+    // round-5: combined facets + sorted hits from ONE kernel pass
+    timeIt("q_faceted") {
+      val fsr = Searcher.searchFaceted(spark, handle, "w0000", "lang",
+        Seq("rawLen" -> false), k = 10)
+      try { fsr.facets.collect(); fsr.hits.collect(); () }
+      finally fsr.close()
+    }
     // multi-field: a path-field index built UNTIMED beside the content
     // index (deterministic, cached in scratch); the two-field handle runs
     // a field-qualified OR

@@ -21,7 +21,7 @@ import graft.streaming.StreamingIngest
 object SparkEntry {
 
   /** bump when the on-disk index format changes (invalidates /tmp caches) */
-  private val FormatVersion = "v6"
+  private val FormatVersion = "v7"
 
   /** the driver-contract multi-field schema: text content + path, plus a
     * numeric size (char length) and a datetime mtime (a deterministic date
@@ -369,6 +369,49 @@ object SparkEntry {
         .limit(10)
         .select($"docId".as("docid"), round($"score", 4).as("score"))
     }),
+    // SpanFirst (programmatic, [W] whoosh SpanFirst(q, limit) — round-5):
+    // docs where a 'merge' occurrence ENDS before raw position 12
+    "ft_topk_spanfirst" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QSpanFirst(graft.search.QTerm("merge"), 12)
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // ConstantScore ([W] whoosh ConstantScoreQuery — round-5): a pinned
+    // 2.5 for every 'merge' doc, summed with join's ordinary BM25 in an OR
+    "ft_topk_constscore" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QOr(List(
+        graft.search.QConstantScore(graft.search.QTerm("merge"), 2.5),
+        graft.search.QTerm("join")))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
+    // Otherwise ([W] whoosh qcore.Otherwise — round-5, pinned GLOBAL
+    // resolution): branch a matches nothing in the corpus, so the engine's
+    // index-wide existence probe must fall through to 'merge'
+    "ft_topk_otherwise" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val q = graft.search.QOtherwise(
+        graft.search.QTerm("zzzznomatchzzzz"), graft.search.QTerm("merge"))
+      val kAll = handle.stats.numDocs.toInt + 1
+      Searcher.searchQ(s, handle, q, kAll)
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"docId".asc)
+        .limit(10)
+        .select($"docId".as("docid"), round($"score", 4).as("score"))
+    }),
     // pluggable weighting (reference search_documents(weighting=...)):
     // Whoosh TF_IDF = tf * idf, length-independent
     "ft_topk_tfidf" -> ((s, dir) =>
@@ -492,6 +535,17 @@ object SparkEntry {
       Searcher.facetCounts(s, handle, "merge", "lang")
         .select(col("lang"), col("count").cast("long").as("cnt"))
     }),
+    // combined groupedby + sortedby in ONE kernel pass (round-5): the
+    // facet half of searchFaceted — one scored match pass serves this AND
+    // the sorted hits (plan-asserted single pass in SparkIndexSpec)
+    "ft_faceted" -> ((s, dir) => {
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val fsr = Searcher.searchFaceted(s, handle, "merge", "lang",
+        Seq("path" -> false), k = 10)
+      val out = fsr.facets
+        .select(col("lang"), col("count").cast("long").as("cnt"))
+      out
+    }),
     // sorted search ([W] whoosh/sorting.py sortedby): matches ordered by a
     // stored field instead of score
     "ft_sortedby" -> ((s, dir) => {
@@ -528,6 +582,22 @@ object SparkEntry {
       val corpus = CorpusSource.fromDocumentsTable(s, dir)
       graft.search.Highlight.highlights(s, handle, corpus, "merge OR join",
           (0L until 20L), surround = 3, maxFrags = 2)
+        .select($"docId".as("docid"), $"frag".cast("long").as("frag"),
+          $"start_pos".cast("long"), $"end_pos".cast("long"),
+          $"matches".cast("long").as("matches"), $"fragment")
+    }),
+    // WholeFragmenter + OrderByPosition through the generalized surface
+    // (round-5): one fragment spanning each matching doc's full token
+    // stream (SentenceFragmenter has no DuckDB key — the corpus carries no
+    // sentence punctuation, so it would degenerate to this same whole-doc
+    // shape; it is property-tested against a brute-force model instead)
+    "ft_highlight_whole" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val corpus = CorpusSource.fromDocumentsTable(s, dir)
+      graft.search.Highlight.highlightsEx(s, handle, corpus, "merge OR join",
+          (0L until 20L), graft.search.Highlight.WholeFragmenter, maxFrags = 1,
+          order = graft.search.Highlight.OrderByPosition)
         .select($"docId".as("docid"), $"frag".cast("long").as("frag"),
           $"start_pos".cast("long"), $"end_pos".cast("long"),
           $"matches".cast("long").as("matches"), $"fragment")
@@ -826,28 +896,33 @@ object SparkEntry {
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE term >= 'sp' GROUP BY docid""".stripMargin.replace("\n", " "))),
     // size:>=400 over the numeric field: one encoded term per doc
-    // (91 distinct values at sf0.01 -- inside the MaxExpand=128 cap, which
-    // the SQL below does not model)
-    // (fl = avgfl = 1), contribution = idf of the doc's value group
+    // (fl = avgfl = 1), contribution = idf of the doc's value group. The
+    // IN-subquery models the QMulti.MaxExpand=128 expansion cap: the
+    // sortable encoding orders by value, so the engine expands exactly the
+    // 128 SMALLEST distinct matching values (91 at sf0.01 — cap inactive
+    // there, but the oracle now stays faithful at any scale factor)
     "ft_topk_numgt" -> (cte + " " + rank(
       """SELECT i.docid,
         |  ln((SELECT n FROM params)::DOUBLE / (c.cnt + 1.0)) + 1.0 AS score
         | FROM ids i
         | JOIN (SELECT length(content) AS len, count(*)::BIGINT AS cnt
         |       FROM ids GROUP BY 1) c ON c.len = length(i.content)
-        | WHERE length(i.content) >= 400""".stripMargin.replace("\n", " "))),
+        | WHERE length(i.content) IN (
+        |   SELECT len FROM (SELECT DISTINCT length(content) AS len FROM ids
+        |     WHERE length(content) >= 400 ORDER BY len ASC LIMIT 128) v)"""
+        .stripMargin.replace("\n", " "))),
     "ft_topk_fuzzy" -> (cte + " " + rank(
       """SELECT docid, sum(s) AS score FROM contrib
         | WHERE abs(length(term) - 4) <= 2 AND levenshtein(term, 'part') <= 2
         | GROUP BY docid""".stripMargin.replace("\n", " "))),
-    // variations (D16): the pinned candidate family for 'merge' (generated
-    // by the same rule set the engine uses — the SQL independently verifies
-    // lexicon intersection + boosted OR scoring over that set)
+    // variations (D16): the candidate family for 'merge' HARD-CODED (round-5
+    // advice: embedding QVariations.candidates would let a rule-set bug pass
+    // the harness — the pinned D16 expansion of 'merge' is exactly this set,
+    // so the oracle now gates the rules too)
     "ft_topk_variations" -> (cte + " " + rank(
-      s"""SELECT docid, sum(s) AS score FROM contrib WHERE term IN (${
-        graft.search.QVariations.candidates("merge").toSeq.sorted
-          .map(c => s"'$c'").mkString(",")
-      }) GROUP BY docid""")),
+      """SELECT docid, sum(s) AS score FROM contrib WHERE term IN
+        | ('merge','merged','mergees','mergeing','merges','merging')
+        | GROUP BY docid""".stripMargin.replace("\n", " "))),
     // batch search: three independent rank queries tagged by qid
     "ft_search_many" -> (cte +
       s" SELECT 't' AS qid, docid, score FROM (${rank(
@@ -952,6 +1027,28 @@ object SparkEntry {
         |     AND t1.term = 'sort' AND t0.pos < t1.pos
         |   WHERE t0.term = 'scan')
         | GROUP BY c.docid""".stripMargin.replace("\n", " "))),
+    // span first (round-5): a 'merge' occurrence ending before raw pos 12;
+    // spans only filter — score = the term's ordinary BM25 contribution
+    "ft_topk_spanfirst" -> (cte + " " + rank(
+      """SELECT c.docid, c.s AS score FROM contrib c
+        | WHERE c.term = 'merge' AND c.docid IN (
+        |   SELECT docid FROM tokens WHERE term = 'merge' AND pos < 12)"""
+        .stripMargin.replace("\n", " "))),
+    // constant score (round-5): merge docs pinned to 2.5, OR-summed with
+    // join's ordinary contribution
+    "ft_topk_constscore" -> (cte + " " + rank(
+      """SELECT docid, sum(s) AS score FROM (
+        |   SELECT docid, 2.5 AS s FROM contrib WHERE term = 'merge'
+        |   UNION ALL SELECT docid, s FROM contrib WHERE term = 'join') u
+        | GROUP BY docid""".stripMargin.replace("\n", " "))),
+    // otherwise (round-5, global resolution): branch a is corpus-absent, so
+    // the CASE (the SQL mirror of the index-wide existence probe) routes
+    // every doc to branch b
+    "ft_topk_otherwise" -> (cte + " " + rank(
+      """SELECT docid, s AS score FROM contrib WHERE term =
+        | CASE WHEN EXISTS (SELECT 1 FROM contrib WHERE term = 'zzzznomatchzzzz')
+        |      THEN 'zzzznomatchzzzz' ELSE 'merge' END"""
+        .stripMargin.replace("\n", " "))),
     // TF_IDF weighting: score = sum over matching terms of idf * tf
     "ft_topk_tfidf" -> (cte + " " + rank(
       """SELECT f.docid, sum((ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) * f.tf) AS score
@@ -1110,6 +1207,11 @@ object SparkEntry {
       """ SELECT lang, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
         | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
         | GROUP BY lang""".stripMargin.replace("\n", " ")),
+    // the combined-call facet half == the standalone facet (same match set)
+    "ft_faceted" -> (cte +
+      """ SELECT lang, count(*)::BIGINT AS cnt FROM ids WHERE docid IN
+        | (SELECT DISTINCT docid FROM tokens WHERE term = 'merge')
+        | GROUP BY lang""".stripMargin.replace("\n", " ")),
     // sorted search: 'merge' matches ordered by path desc
     "ft_sortedby" -> (cte +
       """ SELECT docid, path FROM ids WHERE docid IN
@@ -1157,6 +1259,22 @@ object SparkEntry {
         |    THEN '<b>' || toks[i+1] || '</b>' ELSE toks[i+1] END
         |    FOR i IN range(s, e + 1)], ' ') AS fragment
         |FROM rk WHERE frag < 2""".stripMargin.replace("\n", " ")),
+    // whole-doc fragment (round-5): every doc with a match emits ONE
+    // fragment covering its full raw token stream, matches bolded
+    "ft_highlight_whole" -> (cte +
+      """, rawd AS (SELECT docid, regexp_extract_all(content, '\w+(\.?\w+)*') AS toks
+        |  FROM ids WHERE docid < 20),
+        |mc AS (SELECT r.docid, r.toks,
+        |    (SELECT count(*) FROM unnest(r.toks) AS u(tok)
+        |     WHERE lower(tok) IN ('merge','join'))::BIGINT AS matches
+        |  FROM rawd r)
+        |SELECT docid, 0::BIGINT AS frag, 0::BIGINT AS start_pos,
+        |  (len(toks) - 1)::BIGINT AS end_pos, matches,
+        |  array_to_string([CASE WHEN lower(toks[i+1]) IN ('merge','join')
+        |    THEN '<b>' || toks[i+1] || '</b>' ELSE toks[i+1] END
+        |    FOR i IN range(0, len(toks))], ' ') AS fragment
+        |FROM mc WHERE matches > 0 AND len(toks) > 0"""
+        .stripMargin.replace("\n", " ")),
     // S3/S5: manifest metrics vs the corpus-derived layout (segSize = 128)
     "ft_segments" -> (cte +
       """, segd AS (SELECT docid // 128 AS segid, count(*)::BIGINT AS doc_count,

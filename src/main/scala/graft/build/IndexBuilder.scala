@@ -65,8 +65,13 @@ object IndexBuilder {
   def docstatsDir(ix: String) = s"$ix/docstats"
   def lexiconDir(ix: String) = s"$ix/lexicon"
   def lexgramsDir(ix: String) = s"$ix/lexgrams"
+  /** LSM delta-lexicon dirs (round-5): each append writes one delta here
+    * instead of rewriting the vocab-sized base; folded at MERGE_SMALL /
+    * compact time (foldLexiconDeltas) */
+  def lexdeltasDir(ix: String) = s"$ix/lexdeltas"
   def manifestsDir(ix: String) = s"$ix/manifests"
   def statsPath(ix: String) = s"$ix/stats.json"
+  def tocPath(ix: String) = s"$ix/toc.json"
   def stagingDir(ix: String) = s"$ix/staging"
 
   /** Deterministic dense docIds (decision D1): global rank in
@@ -179,6 +184,7 @@ object IndexBuilder {
         analyzer = cfg.analyzer.asString)
       timed("lexicon")(writeLexicon(spark, indexDir))
       writeStats(fs, indexDir, stats)
+      writeToc(fs, indexDir)
       BuildReport(stats, todo, done.toSeq.sorted)
     }
   }
@@ -448,16 +454,36 @@ object IndexBuilder {
       .repartitionByRange(lexPartitions, $"gram")
       .sortWithinPartitions("gram", "term")
       .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
+    // the full rebuild covers every live segment, so any pending delta
+    // lexicons are superseded — GC them (a crash before this delete leaves
+    // a double-count window only until the rebuild reruns; builds are the
+    // retryable unit)
+    fsLex.delete(new Path(lexdeltasDir(indexDir)), true)
+    ()
   }
 
-  /** Incremental lexicon maintenance for appends: aggregate ONLY the new
-    * segments' (term, df, cf), merge into the existing lexicon (union +
-    * re-aggregate — vocab-sized, never a full segment scan), and append
-    * just the NEW terms' 3-grams to the sidecar. At 10^12-doc scale this is
-    * what keeps a small streaming append from re-reading every segment's
-    * term column: the scan is delta-sized, the rewrite is vocab-sized.
-    * Appended gram files overlap the existing range partitioning — the
-    * `gram IN` probe prunes by per-file min/max stats, so pruning holds.
+  /** Incremental lexicon maintenance for appends — LSM shape (round-5; the
+    * round-4 version union-re-aggregated and REWROTE the whole vocab-sized
+    * base per append, the last per-batch O(index-metadata) cost): aggregate
+    * ONLY the new segments' (term, df, cf, maxTf) and commit it as a
+    * term-sorted DELTA file beside the base (`lexdeltas/d<segId>`). Read
+    * side (Searcher.open) folds base + live deltas with a tiny grouped
+    * aggregation — the pushed `term IN` probe composes across the files for
+    * free (all term-sorted parquet with sharp min/max stats). Deltas fold
+    * into the base at MERGE_SMALL / compact time (foldLexiconDeltas), the
+    * same cadence that bounds the segment tail. Work per append: one
+    * delta-sized segment scan + delta-sized writes; the base is never read
+    * or written.
+    *
+    * Grams: ALL the delta's terms' 3-grams are appended to the sidecar
+    * (an anti-join against the base to isolate new terms would read the
+    * vocab-sized term column per append, defeating the point). Duplicate
+    * (gram, term) pairs are harmless — every consumer distincts the probe —
+    * and are physically deduped at fold time. Grams are written BEFORE the
+    * delta is promoted: a crash between the two leaves orphan grams
+    * (phantom expansion candidates with df 0 — harmless), never a term the
+    * gram probe can't find (which would break the superset guarantee).
+    *
     * Falls back to the full build when no lexicon exists yet. */
   def updateLexicon(spark: SparkSession, indexDir: String,
                     newSegIds: Seq[Int]): Unit = {
@@ -469,29 +495,110 @@ object IndexBuilder {
       return
     }
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
-    val delta = spark.read.parquet(segmentsDir(indexDir))
+    val staging = s"${stagingDir(indexDir)}/lexdelta"
+    fs.delete(new Path(staging), true)
+    spark.read.parquet(segmentsDir(indexDir))
       .filter(col("segId").isin(newSegIds: _*))
       .filter(col("term") >= graft.search.Q.RealTermMin) // D14 pseudo rows excluded
-      .groupBy($"term").agg(sum($"df").cast("long").as("df"),
-        sum($"cf").cast("long").as("cf"),
-        max($"maxTf").cast("long").as("maxTf"))
-    val old = spark.read.parquet(lexiconDir(indexDir))
-    // new terms' grams (delta-sized) — before the lexicon dirs move
-    val newGrams = delta.select($"term").join(old.select($"term"), Seq("term"), "left_anti")
-      .as[String].flatMap(t => grams3(t).iterator.map(g => (g, t)))
-      .toDF("gram", "term")
-      .repartitionByRange(lexPartitions, $"gram")
-      .sortWithinPartitions("gram", "term")
-    val staging = s"${stagingDir(indexDir)}/lexicon"
-    old.unionByName(delta)
       .groupBy($"term").agg(sum($"df").cast("long").as("df"),
         sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("long").as("maxTf"))
       .repartitionByRange(lexPartitions, $"term")
       .sortWithinPartitions("term")
       .write.mode(SaveMode.Overwrite).parquet(staging)
-    newGrams.write.mode(SaveMode.Append).parquet(lexgramsDir(indexDir))
+    spark.read.parquet(staging)
+      .select($"term").as[String]
+      .flatMap(t => grams3(t).iterator.map(g => (g, t)))
+      .toDF("gram", "term")
+      .repartitionByRange(lexPartitions, $"gram")
+      .sortWithinPartitions("gram", "term")
+      .write.mode(SaveMode.Append).parquet(lexgramsDir(indexDir))
+    // segIds are never reused, so the delta name is collision-free
+    promoteDir(fs, staging, s"${lexdeltasDir(indexDir)}/d${newSegIds.min}")
+  }
+
+  /** Delta-lexicon dirs not yet folded into the base: one listing, minus
+    * the names recorded consumed by the base's `_folded.json` marker (a
+    * fold crash between base promote and delta GC must not double-count —
+    * the marker rides the atomic base promote, manifest-supersession
+    * style). */
+  def liveLexDeltaDirs(fs: FileSystem, indexDir: String): Seq[String] = {
+    val root = new Path(lexdeltasDir(indexDir))
+    if (!fs.exists(root)) return Seq.empty
+    val names = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("d"))
+    if (names.isEmpty) return Seq.empty
+    val folded = readFoldedMarker(fs, indexDir)
+    names.filterNot(folded).sorted.map(n => s"${lexdeltasDir(indexDir)}/$n")
+  }
+
+  private def foldedMarkerPath(indexDir: String) =
+    new Path(lexiconDir(indexDir), "_folded.json")
+
+  private def readFoldedMarker(fs: FileSystem, indexDir: String): Set[String] = {
+    val p = foldedMarkerPath(indexDir)
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    """"([^"]+)"""".r.findAllMatchIn(txt).map(_.group(1)).toSet - "consumed"
+  }
+
+  /** Fold pending delta lexicons into the base (the LSM compaction step,
+    * wired into Merger.mergeSmall/compact): one vocab-sized union +
+    * re-aggregate + term-sorted rewrite, paid at COMPACTION cadence instead
+    * of per append. Also physically dedups the gram sidecar (appends leave
+    * duplicate (gram, term) rows). Commit protocol: the folded base is
+    * staged WITH a `_folded.json` marker naming every delta it consumed
+    * (underscore prefix — parquet readers skip it), promoted atomically,
+    * then the consumed deltas are GC'd; a crash between promote and GC
+    * leaves deltas that every reader skips via the marker and the next fold
+    * sweeps. Returns true if anything was folded. */
+  def foldLexiconDeltas(spark: SparkSession, indexDir: String): Boolean = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(indexDir),
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(lexdeltasDir(indexDir))
+    val allNames: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName).filter(_.startsWith("d"))
+    val live = liveLexDeltaDirs(fs, indexDir)
+    if (live.isEmpty) {
+      // nothing pending; sweep stale consumed leftovers from a prior crash
+      allNames.foreach(n => fs.delete(new Path(root, n), true))
+      if (allNames.nonEmpty) fs.delete(root, true)
+      return false
+    }
+    val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
+    val staging = s"${stagingDir(indexDir)}/lexfold"
+    fs.delete(new Path(staging), true)
+    live.map(spark.read.parquet(_))
+      .foldLeft(spark.read.parquet(lexiconDir(indexDir)))(_ unionByName _)
+      .groupBy($"term").agg(sum($"df").cast("long").as("df"),
+        sum($"cf").cast("long").as("cf"),
+        max($"maxTf").cast("long").as("maxTf"))
+      .repartitionByRange(lexPartitions, $"term")
+      .sortWithinPartitions("term")
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    // marker = EVERY delta name present (live + stale): all are covered by
+    // the folded base the moment it promotes
+    val marker = s"""{"consumed":[${allNames.sorted.map(n => s""""$n"""").mkString(",")}]}"""
+    val out = fs.create(new Path(staging, "_folded.json"), true)
+    out.write(marker.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     promoteDir(fs, staging, lexiconDir(indexDir))
+    allNames.foreach(n => fs.delete(new Path(root, n), true))
+    fs.delete(root, true)
+    // gram sidecar: physical dedup of append-time duplicates
+    val gstaging = s"${stagingDir(indexDir)}/lexgramsfold"
+    fs.delete(new Path(gstaging), true)
+    spark.read.parquet(lexgramsDir(indexDir))
+      .distinct()
+      .repartitionByRange(lexPartitions, col("gram"))
+      .sortWithinPartitions("gram", "term")
+      .write.mode(SaveMode.Overwrite).parquet(gstaging)
+    promoteDir(fs, gstaging, lexgramsDir(indexDir))
+    true
   }
 
   /** distinct character 3-grams of a term (terms shorter than 3 chars have
@@ -502,21 +609,82 @@ object IndexBuilder {
 
   // ---- manifests / stats ----
 
+  private def manifestJson(m: SegmentManifest): String =
+    s"""{"segId":${m.segId},"docLo":${m.docLo},"docHi":${m.docHi},"docCount":${m.docCount},
+       |"rawLenSum":${m.rawLenSum},"postingRows":${m.postingRows},"postingBytes":${m.postingBytes},
+       |"digest":"${m.digest}","source":"${m.source}",
+       |"covers":[${m.coverSet.mkString(",")}],"absorbed":[${m.absorbed.mkString(",")}]}"""
+      .stripMargin.replace("\n", "")
+
   def writeManifest(fs: FileSystem, indexDir: String, m: SegmentManifest): Unit = {
     val dir = new Path(manifestsDir(indexDir))
     if (!fs.exists(dir)) fs.mkdirs(dir)
-    val json =
-      s"""{"segId":${m.segId},"docLo":${m.docLo},"docHi":${m.docHi},"docCount":${m.docCount},
-         |"rawLenSum":${m.rawLenSum},"postingRows":${m.postingRows},"postingBytes":${m.postingBytes},
-         |"digest":"${m.digest}","source":"${m.source}",
-         |"covers":[${m.coverSet.mkString(",")}],"absorbed":[${m.absorbed.mkString(",")}]}"""
-        .stripMargin.replace("\n", "")
     val tmp = new Path(dir, s".seg-${m.segId}.json.tmp")
     val dst = new Path(dir, s"seg-${m.segId}.json")
     val out = fs.create(tmp, true)
-    out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     overwriteRename(fs, tmp, dst)
+  }
+
+  // ---- rolled-up table of contents (round-5) ----
+  //
+  // Per-segment manifests stay THE commit protocol (crash-safe supersession
+  // via `absorbed`), but opening an index by reading one small JSON per
+  // segment costs O(segments) round trips — a long-running MERGE_SMALL
+  // ingest accumulates exactly that. The TOC is a pure CACHE of the live
+  // manifest set, validated by a token over the manifest-directory NAME
+  // listing (one listing call, no per-file reads): manifest content is a
+  // deterministic function of its name (segIds are never reused; rebuilds
+  // reproduce identical manifests), so same name set == same live set.
+  // Stale or missing TOC -> fall back to reading the manifests and rewrite.
+
+  private def manifestNamesToken(fs: FileSystem, indexDir: String): String = {
+    val dir = new Path(manifestsDir(indexDir))
+    val names =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith("seg-") && n.endsWith(".json")).sorted
+    sha256Hex(names.mkString("\n"))
+  }
+
+  /** rewrite the TOC from the current manifests — called at every commit
+    * point (end of build batch loop, merge commit, append) */
+  def writeToc(fs: FileSystem, indexDir: String): Unit = {
+    val token = manifestNamesToken(fs, indexDir)
+    val live = readManifests(fs, indexDir)
+    val sb = new StringBuilder
+    sb.append(s"""{"token":"$token","n":${live.size}}""").append('\n')
+    live.foreach(m => sb.append(manifestJson(m)).append('\n'))
+    val tmp = new Path(indexDir, ".toc.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    overwriteRename(fs, tmp, new Path(tocPath(indexDir)))
+  }
+
+  /** Live manifests via the TOC when fresh: O(1) reads (one dir listing for
+    * the token + one TOC file) instead of one read per segment. Falls back
+    * to the authoritative per-file read on any mismatch and refreshes the
+    * cache. Readers only (writers about to change the set read raw). */
+  def readManifestsFast(fs: FileSystem, indexDir: String): Seq[SegmentManifest] = {
+    val p = new Path(tocPath(indexDir))
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val lines = scala.io.Source.fromInputStream(in).getLines().toList
+      in.close()
+      lines match {
+        case header :: rest =>
+          val tok = """"token":"([0-9a-f]+)"""".r.findFirstMatchIn(header).map(_.group(1))
+          val n = """"n":(\d+)""".r.findFirstMatchIn(header).map(_.group(1).toInt)
+          if (tok.contains(manifestNamesToken(fs, indexDir)) && n.contains(rest.size))
+            return rest.map(parseManifest).sortBy(_.segId)
+        case _ => ()
+      }
+    }
+    val live = readManifests(fs, indexDir)
+    writeToc(fs, indexDir)
+    live
   }
 
   /** OVERWRITING rename (same pattern as Deletes.writeRange): a
@@ -568,7 +736,8 @@ object IndexBuilder {
   }
 
   def writeStats(fs: FileSystem, indexDir: String, st: IndexStats): Unit = {
-    val json = s"""{"numDocs":${st.numDocs},"totalFieldLen":${st.totalFieldLen},""" +
+    val json = s"""{"formatVersion":${st.formatVersion},""" +
+      s""""numDocs":${st.numDocs},"totalFieldLen":${st.totalFieldLen},""" +
       s""""numSegments":${st.numSegments},"segSize":${st.segSize},""" +
       s""""analyzer":"${st.analyzer}"}"""
     val tmp = new Path(indexDir, ".stats.json.tmp")
@@ -586,10 +755,21 @@ object IndexBuilder {
     def l(k: String): Long = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     val analyzer = """"analyzer":"([^"]*)"""".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(graft.analysis.AnalyzerSpec.Standard.asString)
+    // unstamped stats.json = a pre-round-5 (<=v6) layout; callers that care
+    // (Searcher.open) reject, metadata-only readers still get the numbers
+    val fv = """"formatVersion":(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
     IndexStats(l("numDocs"), l("totalFieldLen"), l("numSegments").toInt,
-      l("segSize").toInt, analyzer)
+      l("segSize").toInt, analyzer, fv)
   }
 
+  /** Staging -> final dir promote. An occupied destination is replaced by a
+    * RENAME SWAP (dst -> dot-prefixed trash, src -> dst, delete trash)
+    * rather than delete-then-rename (round-5 hygiene, matching the
+    * FileContext OVERWRITE used for stats/manifests): the no-file-at-dst
+    * crash window shrinks from a full recursive delete to the instant
+    * between two renames, and a crash leaves the old data recoverable in
+    * the trash dir (swept on the next promote of the same destination). */
   private[graft] def promoteDir(fs: FileSystem, from: String, to: String): Unit = {
     val src = new Path(from)
     val dst = new Path(to)
@@ -599,8 +779,14 @@ object IndexBuilder {
     }
     val parent = dst.getParent
     if (!fs.exists(parent)) fs.mkdirs(parent)
-    fs.delete(dst, true)
-    require(fs.rename(src, dst), s"promote failed: $from -> $to")
+    if (fs.exists(dst)) {
+      val trash = new Path(parent, s".promote-trash-${dst.getName}")
+      fs.delete(trash, true) // stale leftover from a prior crash
+      require(fs.rename(dst, trash), s"promote swap-out failed: $to")
+      require(fs.rename(src, dst), s"promote failed: $from -> $to")
+      fs.delete(trash, true)
+    } else require(fs.rename(src, dst), s"promote failed: $from -> $to")
+    ()
   }
 
   private def contiguousRuns(ids: Seq[Int]): Seq[(Int, Int)] = {

@@ -191,6 +191,9 @@ object Merger {
       fs.delete(new Path(s"${IndexBuilder.segmentsDir(indexDir)}/segId=$id"), true)
       fs.delete(new Path(s"${IndexBuilder.docstatsDir(indexDir)}/segId=$id"), true)
     }
+    // refresh the TOC cache at the commit point (cheap: one listing + one
+    // small write; stale-TOC readers fall back to per-file reads anyway)
+    IndexBuilder.writeToc(fs, indexDir)
     targetId
   }
 
@@ -257,6 +260,10 @@ object Merger {
       IndexBuilder.writeStats(fs, indexDir, st.copy(
         numSegments = IndexBuilder.readManifests(fs, indexDir).size))
     }
+    // LSM lexicon fold (round-5): the same cadence that bounds the segment
+    // tail folds pending delta lexicons into the base — per-append work
+    // stays delta-sized, the vocab-sized rewrite is paid here
+    IndexBuilder.foldLexiconDeltas(spark, indexDir)
     minted.toSeq
   }
 
@@ -319,10 +326,12 @@ object Merger {
         numDocs = manifests.map(_.docCount).sum,
         totalFieldLen = manifests.map(_.rawLenSum).sum,
         numSegments = manifests.size))
+      // full lexicon rebuild covers everything — writeLexicon GCs lexdeltas
       IndexBuilder.writeLexicon(spark, indexDir)
       graft.build.Deletes.clear(spark, indexDir)
     } else {
       IndexBuilder.writeStats(fs, indexDir, st.copy(numSegments = manifests.size))
+      IndexBuilder.foldLexiconDeltas(spark, indexDir)
     }
   }
 }

@@ -69,4 +69,17 @@ final case class SegmentManifest(segId: Int, docLo: Long, docHi: Long,
 
 final case class IndexStats(numDocs: Long, totalFieldLen: Long,
                             numSegments: Int, segSize: Int,
-                            analyzer: String = "standard|lower|stop(2)")
+                            analyzer: String = "standard|lower|stop(2)",
+                            formatVersion: Int = IndexStats.CurrentFormat)
+
+object IndexStats {
+  /** On-disk layout version, stamped into stats.json and checked at
+    * Searcher.open (round-5 advice: a pre-D14 index opened by current code
+    * silently returned empty `*`/NOT results and only failed later on the
+    * missing lexicon maxTf column — now it fails fast with a clear error).
+    * History: <=6 unstamped (v6 = persisted pseudo rows + lexicon maxTf);
+    * 7 = v6 + the optional LSM delta-lexicon dir (lexdeltas) and TOC cache
+    * — a 7-reader folds deltas when present, so 6-built data reopens after
+    * a rebuild stamps it. */
+  final val CurrentFormat = 7
+}

@@ -102,6 +102,12 @@ final class RefModel(docs: Seq[(Long, String)],
     case QSpanBi(a, b, _) => // both sides required; intersection scoring
       if (spansOf(q, docId).isEmpty) None
       else Some(Seq(scoreDoc(a, docId), scoreDoc(b, docId)).flatten.sum)
+    case QSpanFirst(c, _) => // spans filter; scored by the child
+      if (spansOf(q, docId).isEmpty) None else scoreDoc(c, docId)
+    case QConstantScore(c, sc) => scoreDoc(c, docId).map(_ => sc)
+    case QOtherwise(a, b) => // pinned GLOBAL resolution (brute force here)
+      if (docs.exists { case (d, _) => scoreDoc(a, d).isDefined }) scoreDoc(a, docId)
+      else scoreDoc(b, docId)
   }
 
   /** the doc's surviving spans for a span-capable node, None/empty = no
@@ -149,6 +155,8 @@ final class RefModel(docs: Seq[(Long, String)],
           as.filter { case (a1, a2) =>
             bs.exists { case (b1, b2) => a1 <= b1 && b2 <= a2 } }
       }
+    case QSpanFirst(c, l) =>
+      spansOf(c, docId).map(_.filter(_._2 < l))
     case _ => None
   }).filter(_.nonEmpty)
 

@@ -32,9 +32,11 @@ object Kernel {
   final case class Hit(docId: Long, score: Double)
 
   /** Fold one posting row into a kernel list map, k-way-merging duplicate
-    * rows of the same key: real terms have exactly one row per segment, but
-    * the match-all pseudo list (Q.EveryTerm) arrives as one compressed run
-    * per SCAN PARTITION of the docstats sidecar (Searcher.everyRows). */
+    * rows of the same key. Since D14 the match-all pseudo lists are
+    * persisted per segment like real terms, so duplicates only arise from
+    * merge-time run splits (a merged segment's term-range files can carry
+    * the same term across file boundaries only transiently mid-merge);
+    * normal segments have exactly one row per key. */
   def mergeList(m: scala.collection.mutable.HashMap[String, TermList],
                 key: String, tl: TermList): Unit =
     m.get(key) match {
@@ -144,9 +146,16 @@ object Kernel {
       val fm = buildMatcher(f, lists, statsOf, w)
       if ((pm eq EmptyMatcher) || (fm eq EmptyMatcher)) EmptyMatcher
       else new RequireMatcher(pm, fm)
-    case sq @ (_: QSpanNear | _: QSpanOr | _: QSpanNot | _: QSpanBi) =>
+    case sq @ (_: QSpanNear | _: QSpanOr | _: QSpanNot | _: QSpanBi | _: QSpanFirst) =>
       buildSpanNode(sq, lists, statsOf, w)
         .map(new SpanScorer(_): Matcher).getOrElse(EmptyMatcher)
+    case QConstantScore(c, sc) =>
+      buildMatcher(c, lists, statsOf, w) match {
+        case EmptyMatcher => EmptyMatcher
+        case cm           => new ConstantScoreMatcher(cm, sc)
+      }
+    case oq: QOtherwise => // resolved driver-side (Searcher.resolveOtherwise)
+      throw new IllegalStateException(s"unresolved Otherwise query: $oq")
   }
 
   /** span tree construction (D15): a Near with any unmatchable child is
@@ -184,6 +193,8 @@ object Kernel {
         an <- buildSpanNode(a, lists, statsOf, w)
         bn <- buildSpanNode(b, lists, statsOf, w)
       } yield new SpanBiNode(an, bn, mode)
+    case QSpanFirst(c, limit) =>
+      buildSpanNode(c, lists, statsOf, w).map(new SpanFirstNode(_, limit))
     case _ => None
   }
 

@@ -570,6 +570,45 @@ final class SpanBiNode(a: SpanNode, b: SpanNode,
   def score: Double = a.score + b.score
 }
 
+/** SpanFirst ([W] whoosh/spans.py SpanFirst(q, limit), round-5): keeps the
+  * child's spans ending strictly before `limit`; scored by the child. */
+final class SpanFirstNode(child: SpanNode, limit: Int) extends SpanNode {
+  val maxScore: Double = child.maxScore
+  private var curSpans: Array[Int] = null
+  settle()
+  private def settle(): Unit = {
+    var done = false
+    while (!done && child.docId != Long.MaxValue) {
+      val cs = child.spans
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < cs.length) {
+        if (cs(i + 1) < limit) { keep += cs(i); keep += cs(i + 1) }
+        i += 2
+      }
+      if (keep.nonEmpty) { curSpans = keep.toArray; done = true }
+      else child.advance()
+    }
+  }
+  def docId: Long = child.docId
+  def advance(): Unit = { child.advance(); settle() }
+  def skipTo(target: Long): Unit = { child.skipTo(target); settle() }
+  def spans: Array[Int] = curSpans
+  def score: Double = child.score
+}
+
+/** ConstantScore ([W] whoosh ConstantScoreQuery, round-5): the child's doc
+  * stream with every score pinned to `const` — upper bounds are exact, so
+  * WAND/saturation pruning over it is maximally tight. */
+final class ConstantScoreMatcher(child: Matcher, const: Double) extends Matcher {
+  val maxScore: Double = const
+  def docId: Long = child.docId
+  def advance(): Unit = child.advance()
+  def skipTo(target: Long): Unit = child.skipTo(target)
+  def score: Double = const
+  def currentUpperBound: Double = const
+}
+
 /** adapts a span tree root to the ordinary Matcher contract */
 final class SpanScorer(root: SpanNode) extends Matcher {
   val maxScore: Double = root.maxScore

@@ -27,6 +27,9 @@ sealed trait Q extends Serializable {
     case QSpanOr(cs)       => cs.flatMap(_.fieldTerms).toSet
     case QSpanNot(i, e)    => i.fieldTerms ++ e.fieldTerms
     case QSpanBi(a, b, _)  => a.fieldTerms ++ b.fieldTerms
+    case QSpanFirst(c, _)  => c.fieldTerms
+    case QConstantScore(c, _) => c.fieldTerms
+    case QOtherwise(a, b)  => a.fieldTerms ++ b.fieldTerms
     case _: QMulti         => Set.empty
     case QPureNot(n)       => n.fieldTerms
     case _: QEvery         => Set.empty
@@ -46,6 +49,9 @@ sealed trait Q extends Serializable {
     case QRequire(p, f)    => p.positiveFieldTerms ++ f.positiveFieldTerms
     case QSpanNot(i, _)    => i.positiveFieldTerms // excl side never matches
     case QSpanBi(a, b, _)  => a.positiveFieldTerms ++ b.positiveFieldTerms
+    case QSpanFirst(c, _)  => c.positiveFieldTerms
+    case QConstantScore(c, _) => c.positiveFieldTerms
+    case QOtherwise(a, b)  => a.positiveFieldTerms ++ b.positiveFieldTerms
     case other             => other.fieldTerms
   }
   def positiveTerms: Set[String] = positiveFieldTerms.map(_._2)
@@ -61,6 +67,9 @@ sealed trait Q extends Serializable {
     case QSpanOr(cs)     => cs.exists(_.hasPrefix)
     case QSpanNot(i, e)  => i.hasPrefix || e.hasPrefix
     case QSpanBi(a, b, _) => a.hasPrefix || b.hasPrefix
+    case QSpanFirst(c, _) => c.hasPrefix
+    case QConstantScore(c, _) => c.hasPrefix
+    case QOtherwise(a, b) => a.hasPrefix || b.hasPrefix
     case _               => false
   }
   /** fields of the tree's match-all nodes ("" = the all-docs Every); each
@@ -73,6 +82,8 @@ sealed trait Q extends Serializable {
     case QNot(p, n)      => p.everyFields ++ n.everyFields
     case QAndMaybe(p, m) => p.everyFields ++ m.everyFields
     case QRequire(p, f)  => p.everyFields ++ f.everyFields
+    case QConstantScore(c, _) => c.everyFields
+    case QOtherwise(a, b) => a.everyFields ++ b.everyFields
     case _               => Set.empty
   }
   /** does the tree contain a match-all node (needs the segment doc list) */
@@ -106,6 +117,7 @@ object Q {
     case s: QSpanOr   => s
     case s: QSpanNot  => s
     case s: QSpanBi   => s
+    case s: QSpanFirst => s
     case m: QMulti    => m
     case QOr(cs) =>
       val es = cs.map(spanify)
@@ -190,6 +202,27 @@ final case class QSpanBi(a: Q, b: Q, mode: SpanBiMode) extends Q
 object QSpanContains { def apply(big: Q, little: Q): QSpanBi = QSpanBi(big, little, SpanContainsMode) }
 object QSpanBefore { def apply(a: Q, b: Q): QSpanBi = QSpanBi(a, b, SpanBeforeMode) }
 object QSpanCondition { def apply(a: Q, b: Q): QSpanBi = QSpanBi(a, b, SpanConditionMode) }
+
+/** SpanFirst ([W] whoosh/spans.py SpanFirst(q, limit) — the last member of
+  * the Whoosh span family, round-5): keeps the child's spans that END
+  * strictly before raw position `limit` ("the term appears in the first N
+  * positions of the field"). Matches iff any survive; scored by the child
+  * (spans only filter, D15). Programmatic surface, like Whoosh. */
+final case class QSpanFirst(child: Q, limit: Int) extends Q
+
+/** ConstantScore ([W] whoosh/query/wrappers.py ConstantScoreQuery):
+  * matches exactly the child's docs, each scoring the constant `score`
+  * (Whoosh wraps filter-like clauses this way to skip the scorer).
+  * Programmatic surface. */
+final case class QConstantScore(child: Q, score: Double = 1.0) extends Q
+
+/** Otherwise ([W] whoosh/query/qcore.py Otherwise(a, b)): matches `a`'s
+  * docs — unless `a` matches NOTHING, in which case it matches `b`'s.
+  * Pinned GLOBAL semantics (resolved index-wide at query time with one
+  * bounded existence probe, Searcher.resolveOtherwise): per-segment
+  * resolution would let a segment without `a` hits answer from `b` while
+  * its neighbor answers from `a`. Programmatic surface. */
+final case class QOtherwise(a: Q, b: Q) extends Q
 /** Multiterm queries (the reference surface beyond the pinned set —
   * SURVEY.md §2.6 "Prefix, Wildcard, FuzzyTerm, TermRange"): each expands
   * driver-side against the global lexicon into an OR over the first
@@ -383,6 +416,16 @@ object QueryRewrite {
       val ae = Q.spanify(expandPrefixes(a, scan))
       val be = Q.spanify(expandPrefixes(b, scan))
       if (ae == QEmpty || be == QEmpty) QEmpty else QSpanBi(ae, be, m)
+    case QSpanFirst(c, l) =>
+      val ce = Q.spanify(expandPrefixes(c, scan))
+      if (ce == QEmpty) QEmpty else QSpanFirst(ce, l)
+    case QConstantScore(c, sc) =>
+      val ce = expandPrefixes(c, scan)
+      if (ce == QEmpty) QEmpty else QConstantScore(ce, sc)
+    case QOtherwise(a, b) =>
+      val ae = expandPrefixes(a, scan)
+      val be = expandPrefixes(b, scan)
+      if (ae == QEmpty) be else if (be == QEmpty) ae else QOtherwise(ae, be)
     case other => other
   }
   private def es2or(cs: List[Q]): Q = cs.filterNot(_ == QEmpty) match {

@@ -53,11 +53,22 @@ object Searcher {
     val fs = FileSystem.get(new java.net.URI(indexDir),
       spark.sparkContext.hadoopConfiguration)
     val st = IndexBuilder.readStats(fs, indexDir)
+    // fail FAST on a foreign layout (round-5 advice): a pre-v7 index (no
+    // formatVersion stamp) lacks the persisted D14 pseudo rows and the
+    // lexicon maxTf column — opening it would silently return empty `*`/NOT
+    // results and only error when termStats touched the missing column
+    require(st.formatVersion == graft.model.IndexStats.CurrentFormat,
+      s"index at $indexDir has on-disk formatVersion ${st.formatVersion}, " +
+        s"this reader needs ${graft.model.IndexStats.CurrentFormat} — " +
+        "rebuild the index (IndexBuilder.build) to migrate")
     // manifest-driven segment set: a crashed merge can leave superseded or
     // orphaned segment dirs behind (they are GC'd after the commit point) —
     // readers trust only segIds with a live manifest. The isin filter is a
-    // partition-pruning predicate on the segId directory column.
-    val manifests = IndexBuilder.readManifests(fs, indexDir)
+    // partition-pruning predicate on the segId directory column. Read via
+    // the rolled-up TOC (round-5): O(1) metadata reads when fresh instead
+    // of one JSON per segment, falling back to the per-file protocol read
+    // on any staleness.
+    val manifests = IndexBuilder.readManifestsFast(fs, indexDir)
     val liveSegs = manifests.map(_.segId)
     // a freshly created index (Engine.createIndex) has stats but no
     // segments yet — empty relations keep every search path total
@@ -80,11 +91,27 @@ object Searcher {
       if (fs.exists(new org.apache.hadoop.fs.Path(IndexBuilder.lexgramsDir(indexDir))))
         Some(spark.read.parquet(IndexBuilder.lexgramsDir(indexDir)))
       else None
+    // LSM lexicon (round-5): streaming appends commit term-sorted DELTA
+    // files instead of rewriting the vocab-sized base; the handle's lexicon
+    // folds base + live deltas with a grouped re-aggregation. Catalyst
+    // pushes term predicates through the Aggregate (grouping-column
+    // filters), so the pruned `term IN` probe still reaches every file's
+    // row-group stats; with no deltas (the common, post-fold state) the
+    // relation is the bare base scan — zero plan change.
     val lexicon =
       if (liveSegs.isEmpty) {
         import spark.implicits._
         spark.emptyDataset[graft.model.LexRow].toDF()
-      } else spark.read.parquet(IndexBuilder.lexiconDir(indexDir))
+      } else {
+        val base = spark.read.parquet(IndexBuilder.lexiconDir(indexDir))
+        val deltas = IndexBuilder.liveLexDeltaDirs(fs, indexDir)
+        if (deltas.isEmpty) base
+        else deltas.map(spark.read.parquet(_)).foldLeft(base)(_ unionByName _)
+          .groupBy(col("term"))
+          .agg(sum(col("df")).cast("long").as("df"),
+            sum(col("cf")).cast("long").as("cf"),
+            max(col("maxTf")).cast("long").as("maxTf"))
+      }
     new IndexHandle(indexDir, BM25.CorpusStats(st.numDocs, st.totalFieldLen),
       st.segSize, segments,
       lexicon,
@@ -301,16 +328,58 @@ object Searcher {
         id => java.util.Arrays.binarySearch(tomb, id) >= 0
     }
 
+  /** Does ANY document match q? One pruned kernel pass, lazily stopped at
+    * the first match per segment (allMatches iterator take(1)) and at the
+    * first matching segment (CollectLimit) — the Otherwise probe. */
+  private[search] def hasAnyMatch(spark: SparkSession, handle: IndexHandle,
+                                  q: Q): Boolean = {
+    import spark.implicits._
+    if (q == QEmpty || (q.terms.isEmpty && !q.hasEvery)) return false
+    val stats = handle.stats
+    val qLocal = q
+    perSegmentKernel[Long](spark, handle, q.terms, q.everyFields,
+      termDfs(spark, handle, q.terms)) { (lists, deleted) =>
+      Kernel.allMatches(qLocal, lists, stats, deleted).take(1)
+    }.head(1).nonEmpty
+  }
+
+  /** Resolve Otherwise nodes ([W] whoosh qcore.Otherwise — round-5, pinned
+    * GLOBAL semantics): use `a` iff it matches anywhere in the INDEX, else
+    * `b`. Resolved driver-side with one bounded existence probe per node —
+    * per-segment resolution would answer from different branches in
+    * different segments. Span subtrees cannot contain Otherwise (spanify
+    * rejects it), so recursion stops at span/leaf nodes. */
+  private def resolveOtherwise(spark: SparkSession, handle: IndexHandle,
+                               q: Q): Q = q match {
+    case QOtherwise(a, b) =>
+      val ar = resolveOtherwise(spark, handle, a)
+      if (hasAnyMatch(spark, handle, ar)) ar
+      else resolveOtherwise(spark, handle, b)
+    case QAnd(cs)        => QAnd(cs.map(resolveOtherwise(spark, handle, _)))
+    case QOr(cs)         => QOr(cs.map(resolveOtherwise(spark, handle, _)))
+    case QDisMax(cs, tb) => QDisMax(cs.map(resolveOtherwise(spark, handle, _)), tb)
+    case QNot(p, n)      => QNot(resolveOtherwise(spark, handle, p),
+                                 resolveOtherwise(spark, handle, n))
+    case QAndMaybe(p, m) => QAndMaybe(resolveOtherwise(spark, handle, p),
+                                      resolveOtherwise(spark, handle, m))
+    case QRequire(p, f)  => QRequire(resolveOtherwise(spark, handle, p),
+                                     resolveOtherwise(spark, handle, f))
+    case QConstantScore(c, sc) => QConstantScore(resolveOtherwise(spark, handle, c), sc)
+    case other           => other
+  }
+
   /** Shared query-entry scaffold (round-3 self-review: four near-identical
     * copies had started to drift): parse with the handle's chain, expand
-    * multiterm nodes against the lexicon, and apply the Every-aware
-    * emptiness rule. None = the query can match nothing. */
+    * multiterm nodes against the lexicon, resolve Otherwise nodes, and
+    * apply the Every-aware emptiness rule. None = the query can match
+    * nothing. */
   private def expandedQuery(spark: SparkSession, handle: IndexHandle,
                             query: String): Option[Q] = {
     val q0 = QueryParser.parse(query, chainOf = _ => handle.chain)
-    val q = if (q0.hasPrefix)
+    val q1 = if (q0.hasPrefix)
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
+    val q = resolveOtherwise(spark, handle, q1)
     if (q == QEmpty || (q.terms.isEmpty && !q.hasEvery)) None else Some(q)
   }
 
@@ -446,9 +515,10 @@ object Searcher {
     import spark.implicits._
     // multiterm expansion: one pruned scan per node (scanMulti — pushed
     // StartsWith / gram-probe / range), ascending-term, MaxExpand-capped
-    val q = if (q0.hasPrefix)
+    val q1 = if (q0.hasPrefix)
       QueryRewrite.expandPrefixes(q0, mq => scanMulti(spark, handle, mq))
     else q0
+    val q = resolveOtherwise(spark, handle, q1)
     if (q == QEmpty || (q.terms.isEmpty && !q.hasEvery))
       return spark.emptyDataset[SearchHit]
     val dfs = termDfs(spark, handle, q.terms)
@@ -599,6 +669,44 @@ object Searcher {
       .join(ids, Seq("docId"))
       .groupBy(fields.map(col): _*)
       .agg(count(lit(1)).as("count"))
+  }
+
+  /** Combined groupedby + sortedby in ONE pass ([W] whoosh search supports
+    * facets and sort keys on the same call — round-5 verdict item 5; the
+    * two-call composition ran the kernel match pass twice). One scored
+    * kernel pass + one docId equi-join against docstats, persisted; `hits`
+    * (top-k by the sort keys, or by score when none) and `facets` (count
+    * per facet value) are both served from that cached match set — the
+    * second consumer's plan is an InMemoryTableScan, not a second segment
+    * scan. Call `close()` when done (or let it age out of the cache). */
+  final class FacetedSearch private[search] (private[search] val matches: DataFrame,
+                                             facetField: String,
+                                             sortKeys: Seq[(String, Boolean)], k: Int) {
+    lazy val hits: DataFrame = {
+      val order =
+        if (sortKeys.isEmpty) Seq(col("score").desc)
+        else sortKeys.map { case (f, asc) => if (asc) col(f).asc else col(f).desc }
+      val cols = col("docId") +: col("score") +: sortKeys.map(kf => col(kf._1))
+      matches.select(cols.distinct: _*)
+        .orderBy(order :+ col("docId").asc: _*)
+        .limit(k)
+    }
+    lazy val facets: DataFrame =
+      matches.groupBy(col(facetField)).agg(count(lit(1)).as("count"))
+    def close(): Unit = { matches.unpersist(); () }
+  }
+
+  def searchFaceted(spark: SparkSession, handle: IndexHandle, query: String,
+                    facetField: String, sortKeys: Seq[(String, Boolean)] = Seq.empty,
+                    k: Int = 10,
+                    weighting: Weighting = BM25Weighting): FacetedSearch = {
+    val hitsDf = scoredMatches(spark, handle, query, weighting).toDF()
+    val need = (facetField +: sortKeys.map(_._1)).distinct.map(col)
+    val matches = liveDocstats(spark, handle)
+      .select(col("docId") +: need: _*)
+      .join(hitsDf, Seq("docId"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new FacetedSearch(matches, facetField, sortKeys, k)
   }
 
   /** Sorted search ([W] whoosh/sorting.py `sortedby`): the query's matches

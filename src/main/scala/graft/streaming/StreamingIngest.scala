@@ -23,6 +23,13 @@ import graft.model.{CorpusRow, IndexStats}
   */
 object StreamingIngest {
 
+  /** instrumentation for tools.StreamBench (round-5 item: make the
+    * lexicon-update share of an append's wall measurable — the LSM delta
+    * write should be a small constant share, never vocab-growing) */
+  object IngestMetrics {
+    @volatile var lastAppendLexiconSec: Double = 0.0
+  }
+
   /** Append a static batch of new documents as fresh segments. */
   def append(spark: SparkSession, batch: Dataset[CorpusRow], indexDir: String,
              cfg: IndexConfig = IndexConfig()): IndexStats = {
@@ -69,10 +76,14 @@ object StreamingIngest {
       numSegments = manifests.size,
       segSize = segSize,
       analyzer = analyzer.asString)
-    // incremental: only the appended segments are scanned, merged into the
-    // existing lexicon (a small append must not re-read the whole index)
+    // incremental: only the appended segments are scanned; the result is a
+    // DELTA lexicon file (round-5 LSM — the base is neither read nor
+    // rewritten; folds happen at MERGE_SMALL/compact cadence)
+    val t0 = System.nanoTime()
     IndexBuilder.updateLexicon(spark, indexDir, newSegs)
+    IngestMetrics.lastAppendLexiconSec = (System.nanoTime() - t0) / 1e9
     IndexBuilder.writeStats(fs, indexDir, stats)
+    IndexBuilder.writeToc(fs, indexDir)
     stats
   }
 

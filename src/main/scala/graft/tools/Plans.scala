@@ -23,7 +23,12 @@ object Plans {
     val ix = "/tmp/graft-plans-ix"
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(ix), spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(ix, "stats.json"))) {
+    // rebuild when absent OR a stale on-disk format (Searcher.open fails
+    // fast on foreign layouts, so the cache must migrate here)
+    val stale = fs.exists(new org.apache.hadoop.fs.Path(ix, "stats.json")) &&
+      IndexBuilder.readStats(fs, ix).formatVersion != graft.model.IndexStats.CurrentFormat
+    if (stale) fs.delete(new org.apache.hadoop.fs.Path(ix), true)
+    if (stale || !fs.exists(new org.apache.hadoop.fs.Path(ix, "stats.json"))) {
       IndexBuilder.build(spark, CorpusSource.synth(spark, 20000, 42L, 8), ix,
         IndexConfig(segSize = 2048))
     }

@@ -77,4 +77,49 @@ class ApiSpec extends AnyFunSuite {
     assert(!Engine.indexExists(spark, dir))
     assert(Engine.getIndex(spark, dir).isEmpty)
   }
+
+  test("BufferedWriter: N single puts cost <= ceil(N/K) appends, results identical") {
+    import spark.implicits._
+    val dirBuf = SparkTestBase.tmpDir("engwbuf")
+    val dirBulk = SparkTestBase.tmpDir("engwblk")
+    Engine.createIndex(spark, dirBuf, IndexConfig(segSize = 16))
+    Engine.createIndex(spark, dirBulk, IndexConfig(segSize = 16))
+    val n = 30
+    val k = 8
+    val rows = mkRows(0, n)
+
+    val w = Engine.writer(spark, dirBuf, flushEvery = k)
+    rows.foreach(w.put)
+    assert(w.pending == n % k)
+    w.close()
+    assert(w.flushes <= (n + k - 1) / k,
+      s"${w.flushes} appends for $n puts at K=$k")
+    intercept[IllegalArgumentException](w.put(rows.head))
+
+    // identical search results to ONE bulk put of the same docs. docIds
+    // differ (each flush appends at the next segment boundary), and D4
+    // breaks score ties by docId, so the layout-independent comparison is
+    // the top-10 SCORE list plus the matched keys where scores are unique.
+    Engine.putDocuments(spark, dirBulk, spark.createDataset(rows))
+    def top(dir: String, q: String): Seq[(Double, String)] =
+      Engine.searchWithFields(spark, dir, q, 10)
+        .select("score", "path").collect().toSeq
+        .map(r => (math.round(r.getDouble(0) * 1e9) / 1e9, r.getString(1)))
+    Seq("w0000", "w0001 OR w0002", "\"needle alpha beta\"").foreach { q =>
+      val (a, b) = (top(dirBuf, q), top(dirBulk, q))
+      assert(a.map(_._1) == b.map(_._1), s"query '$q' score lists diverged")
+      val uniqA = a.groupBy(_._1).filter(_._2.size == 1).values.flatten.toSet
+      val uniqB = b.groupBy(_._1).filter(_._2.size == 1).values.flatten.toSet
+      assert(uniqA == uniqB, s"query '$q' unique-score hits diverged")
+    }
+
+    // last-wins within a buffer: two puts of the same key, one flush, one doc
+    val w2 = Engine.writer(spark, dirBuf, flushEvery = 100)
+    w2.put(rows(3).copy(content = "transient zzfirst"))
+    w2.put(rows(3).copy(content = "final zzsecond"))
+    assert(w2.pending == 1)
+    w2.close()
+    assert(Engine.searchDocuments(spark, dirBuf, "zzfirst").isEmpty)
+    assert(Engine.searchDocuments(spark, dirBuf, "zzsecond").size == 1)
+  }
 }

@@ -90,6 +90,47 @@ class ClassifySpec extends AnyFunSuite with PropSupport {
     }
   }
 
+  test("fragmenter variants: sentence / whole / order / formatter (round-5)") {
+    import Highlight._
+    val terms = Set("aa", "bb")
+    def bold(ts: Seq[String]): String =
+      ts.map(t => if (terms.contains(t.toLowerCase(java.util.Locale.ROOT)))
+        s"<b>$t</b>" else t).mkString(" ")
+    forSamples(Gen.listOf(Gen.nonEmptyListOf(tokGen)), Gen.choose(1, 3)) {
+      (sents0, maxFrags) =>
+        val sents = sents0.take(6)
+        val content = sents.map(_.mkString(" ")).mkString(". ") +
+          (if (sents.nonEmpty) "." else "")
+        // brute-force sentence model: cumulative token offsets, per-sentence
+        // match counts, pinned render
+        var off = 0
+        val expAll = sents.flatMap { s =>
+          val st = off
+          off += s.size
+          val m = s.count(t => terms.contains(t.toLowerCase(java.util.Locale.ROOT)))
+          if (m == 0) None
+          else Some(Fragment(st, st + s.size - 1, m, bold(s)))
+        }
+        assert(fragmentsEx(content, terms, SentenceFragmenter, maxFrags) ==
+          expAll.sortBy(f => (-f.matches, f.startPos)).take(maxFrags))
+        assert(fragmentsEx(content, terms, SentenceFragmenter, maxFrags,
+          OrderByPosition) == expAll.sortBy(_.startPos).take(maxFrags))
+        // whole fragmenter: one fragment spanning the full token stream
+        val allToks = sents.flatten
+        val totalM = allToks.count(t => terms.contains(t.toLowerCase(java.util.Locale.ROOT)))
+        val gotW = fragmentsEx(content, terms, WholeFragmenter, 1)
+        if (totalM == 0) assert(gotW.isEmpty)
+        else assert(gotW ==
+          Seq(Fragment(0, allToks.size - 1, totalM, bold(allToks))))
+    }
+    // formatter hook: the matched token renders through the formatter
+    assert(fragmentsEx("xx aa yy", Set("aa"), WholeFragmenter, 1,
+      OrderByScore, UppercaseFormatter).head.text == "xx AA yy")
+    // context fragmenter through the Ex surface == the pinned D12 kernel
+    assert(fragmentsEx("xx aa yy zz aa", Set("aa"), ContextFragmenter(1), 2) ==
+      fragments("xx aa yy zz aa", Set("aa"), 1, 2))
+  }
+
   // ---- DisMax ----
 
   test("DisMax: kernel == RefModel (tiebreak 0 and 0.3), collapses like OR") {

@@ -455,6 +455,52 @@ class SparkIndexSpec extends AnyFunSuite {
     assert(multi.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap == single)
   }
 
+  test("searchFaceted: one kernel pass serves both facets and sorted hits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 120).map { i =>
+      CorpusRow(f"r${i % 5}", f"f$i%04d.txt", f"$i%040x", s"l${i % 3}",
+        graft.corpus.SynthCorpus.doc(37L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("faceted")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 32))
+    val handle = Searcher.open(spark, dir)
+
+    val fsr = Searcher.searchFaceted(spark, handle, "w0000", "lang",
+      Seq("rawLen" -> false), k = 10)
+    try {
+      // == the two-call composition (facetCounts + searchSortedByKeys)
+      val facets = fsr.facets.as[(String, Long)].collect().toSet
+      val expFacets = Searcher.facetCounts(spark, handle, "w0000", "lang")
+        .as[(String, Long)].collect().toSet
+      assert(facets == expFacets && facets.nonEmpty)
+      val hits = fsr.hits.select(col("docId"), col("rawLen")).as[(Long, Long)]
+        .collect().toSeq
+      val expHits = Searcher.searchSortedByKeys(spark, handle, "w0000",
+        Seq("rawLen" -> false), 10).select(col("docId"), col("rawLen"))
+        .as[(Long, Long)].collect().toSeq
+      assert(hits == expHits && hits.nonEmpty)
+      // the SECOND consumer reads the cached match set, not the segments:
+      // everything that executes fresh (above the InMemoryRelation, whose
+      // printed subtree is just the cached plan's description) must be an
+      // in-memory scan — no file scan, no second kernel pass
+      val facetPlan = fsr.facets.queryExecution.executedPlan.toString
+      assert(facetPlan.contains("InMemoryTableScan"),
+        s"facets not served from the cached match pass:\n$facetPlan")
+      val fresh = facetPlan.split("InMemoryRelation")(0)
+      assert(!fresh.contains("FileScan") && !fresh.contains("MapGroups"),
+        s"facets re-ran the match pass:\n$facetPlan")
+      // score-sorted flavor (no sort keys) == ordinary search ranking
+      val f2 = Searcher.searchFaceted(spark, handle, "w0000", "lang", k = 10)
+      try {
+        val scoreHits = f2.hits.select(col("docId")).as[Long].collect().toSeq
+        val expTop = Searcher.search(spark, handle, "w0000", 10)
+          .collect().toSeq.map(_.docId)
+        assert(scoreHits == expTop)
+      } finally f2.close()
+    } finally fsr.close()
+  }
+
   test("span queries (D15): engine rank- and score-identical to oracle") {
     import spark.implicits._
     val rows = (0 until 150).map { i =>
@@ -504,6 +550,60 @@ class SparkIndexSpec extends AnyFunSuite {
       }
       assert(h2.nonEmpty, s"$name matched nothing - weak test")
     }
+
+    // SpanFirst (round-5, [W] whoosh SpanFirst(q, limit)): spans ending
+    // before the limit; a generous limit must equal the bare term query
+    import graft.search.QSpanFirst
+    Seq("f1" -> QSpanFirst(T("w0000"), 8),
+        "f2" -> QSpanFirst(SN(List(T("w0000"), T("w0001")), 6, ordered = true), 20),
+        "f3" -> QSpanFirst(T("w0002"), 100000)).foreach { case (name, fq) =>
+      val h3 = Searcher.searchQ(spark, handle, fq, 10).collect().toSeq
+      val o3 = ref.search(fq, 10)
+      assert(h3.map(_.docId) == o3.map(_._1), s"$name: $h3 vs $o3")
+      h3.zip(o3).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-6, name)
+      }
+      assert(h3.nonEmpty, s"$name matched nothing - weak test")
+    }
+    // an unbounded-limit SpanFirst degenerates to the bare term (docs and scores)
+    assert(Searcher.searchQ(spark, handle, QSpanFirst(T("w0002"), Int.MaxValue), 10)
+      .collect().toSeq ==
+      Searcher.searchQ(spark, handle, T("w0002"), 10).collect().toSeq)
+  }
+
+  test("ConstantScore + Otherwise (round-5): rank identity, both branches") {
+    import spark.implicits._
+    import graft.search.{QConstantScore, QOtherwise, QOr, QTerm => T}
+    val rows = (0 until 120).map { i =>
+      CorpusRow(f"r${i % 5}", f"f$i%04d.txt", f"$i%040x", "text",
+        graft.corpus.SynthCorpus.doc(29L, i.toLong))
+    }
+    val dir = SparkTestBase.tmpDir("wrapq")
+    IndexBuilder.build(spark, spark.createDataset(rows), dir, IndexConfig(segSize = 32))
+    val ref = new RefModel(refDocs(rows))
+    val handle = Searcher.open(spark, dir)
+    val queries = Seq(
+      "cs_alone" -> QConstantScore(T("w0000"), 2.5),
+      "cs_or"    -> QOr(List(QConstantScore(T("w0000"), 2.5), T("w0001"))),
+      "ow_a"     -> QOtherwise(T("w0000"), T("w0001")),       // a matches -> a
+      "ow_b"     -> QOtherwise(T("zzznope"), T("w0001")),     // a empty -> b
+      "ow_nest"  -> QOtherwise(T("zzznope"), QOtherwise(T("zzznope2"), T("w0002"))))
+    queries.foreach { case (name, q) =>
+      val hits = Searcher.searchQ(spark, handle, q, 10).collect().toSeq
+      val oracle = ref.search(q, 10)
+      assert(hits.map(_.docId) == oracle.map(_._1), s"$name: $hits vs $oracle")
+      hits.zip(oracle).foreach { case (h, (_, s)) =>
+        assert(math.abs(h.score - s) <= 1e-6, name)
+      }
+      assert(hits.nonEmpty, s"$name matched nothing - weak test")
+    }
+    // the resolved Otherwise must EQUAL its taken branch exactly
+    assert(Searcher.searchQ(spark, handle, QOtherwise(T("w0000"), T("w0001")), 10)
+      .collect().toSeq ==
+      Searcher.searchQ(spark, handle, T("w0000"), 10).collect().toSeq)
+    assert(Searcher.searchQ(spark, handle, QOtherwise(T("zzznope"), T("w0001")), 10)
+      .collect().toSeq ==
+      Searcher.searchQ(spark, handle, T("w0001"), 10).collect().toSeq)
   }
 
   test("D14: Every/NOT queries read persisted pseudo lists, never docstats") {

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.build.IndexBuilder
 import graft.build.IndexBuilder.IndexConfig
@@ -168,27 +169,87 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(!tombs.contains(9999L), s"orphan docstats leaked into upsert: $tombs")
   }
 
-  test("incremental lexicon after append == full rebuild (df, cf, grams probe)") {
+  test("LSM lexicon: appends never touch the base; folded view == full rebuild") {
     import spark.implicits._
-    val dir = SparkTestBase.tmpDir("inclex")
+    val dir = SparkTestBase.tmpDir("lsmlex")
     val segSize = 16
     IndexBuilder.build(spark, spark.createDataset(mkRows(7L, 0, 40)), dir,
       IndexConfig(segSize = segSize))
-    // two successive appends exercise delta-merge twice (terms old+new)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    def baseFiles(): Set[(String, Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(IndexBuilder.lexiconDir(dir)))
+        .map(s => (s.getPath.getName, s.getModificationTime, s.getLen)).toSet
+    val before = baseFiles()
+
+    // two successive appends: each must commit a DELTA, not rewrite the base
     StreamingIngest.append(spark, spark.createDataset(mkRows(7L, 40, 60)), dir,
       IndexConfig(segSize = segSize))
     StreamingIngest.append(spark, spark.createDataset(mkRows(7L, 60, 70)), dir,
       IndexConfig(segSize = segSize))
-    val incremental = spark.read.parquet(IndexBuilder.lexiconDir(dir))
-      .as[(String, Long, Long, Long)].collect().toSet
-    val incGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
+    assert(baseFiles() == before,
+      "append read-modify-wrote the vocab-sized base lexicon (round-5 LSM regression)")
+    assert(IndexBuilder.liveLexDeltaDirs(fs, dir).size == 2)
+
+    // the handle's folded view (base + deltas) == a full segment-scan rebuild
+    def lexSet(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long, Long)] =
+      df.select(col("term"), col("df").cast("long"), col("cf").cast("long"),
+        col("maxTf").cast("long")).as[(String, Long, Long, Long)].collect().toSet
+    val viaDeltas = lexSet(Searcher.open(spark, dir).lexicon)
+    val gramsWithDeltas = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
       .as[(String, String)].collect().toSet
+
+    // physical fold (the MERGE_SMALL-cadence step): deltas disappear, base
+    // alone now equals the folded view; gram sidecar deduped, same set
+    assert(IndexBuilder.foldLexiconDeltas(spark, dir))
+    assert(IndexBuilder.liveLexDeltaDirs(fs, dir).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(IndexBuilder.lexdeltasDir(dir))))
+    assert(lexSet(spark.read.parquet(IndexBuilder.lexiconDir(dir))) == viaDeltas)
+    val gramsFolded = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
+      .as[(String, String)].collect()
+    assert(gramsFolded.toSet == gramsWithDeltas)
+    assert(gramsFolded.length == gramsFolded.toSet.size, "fold left duplicate gram rows")
+
     IndexBuilder.writeLexicon(spark, dir) // full rebuild over all segments
-    val full = spark.read.parquet(IndexBuilder.lexiconDir(dir))
-      .as[(String, Long, Long, Long)].collect().toSet
-    val fullGramTerms = spark.read.parquet(IndexBuilder.lexgramsDir(dir))
-      .as[(String, String)].collect().toSet
-    assert(incremental == full)
-    assert(incGramTerms == fullGramTerms)
+    assert(lexSet(spark.read.parquet(IndexBuilder.lexiconDir(dir))) == viaDeltas)
+    assert(spark.read.parquet(IndexBuilder.lexgramsDir(dir))
+      .as[(String, String)].collect().toSet == gramsWithDeltas)
+  }
+
+  test("TOC cache: fresh == per-file manifests; corrupt/missing falls back + rewrites") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("toc")
+    IndexBuilder.build(spark, spark.createDataset(mkRows(13L, 0, 40)), dir,
+      IndexConfig(segSize = 16))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val tocP = new org.apache.hadoop.fs.Path(IndexBuilder.tocPath(dir))
+    assert(fs.exists(tocP), "build did not write the TOC")
+    def key(ms: Seq[graft.model.SegmentManifest]) =
+      ms.map(m => (m.segId, m.digest, m.docCount, m.covers, m.absorbed))
+    assert(key(IndexBuilder.readManifestsFast(fs, dir)) ==
+      key(IndexBuilder.readManifests(fs, dir)))
+
+    // corrupt token -> authoritative fallback, cache refreshed
+    val out = fs.create(tocP, true)
+    out.write("{\"token\":\"deadbeef\",\"n\":0}\n".getBytes("UTF-8"))
+    out.close()
+    assert(key(IndexBuilder.readManifestsFast(fs, dir)) ==
+      key(IndexBuilder.readManifests(fs, dir)))
+    // missing TOC -> fallback recreates it
+    fs.delete(tocP, false)
+    assert(key(IndexBuilder.readManifestsFast(fs, dir)) ==
+      key(IndexBuilder.readManifests(fs, dir)))
+    assert(fs.exists(tocP), "fallback did not refresh the TOC")
+
+    // an append + a merge each move the commit point; the cache must track
+    StreamingIngest.append(spark, spark.createDataset(mkRows(13L, 40, 50)), dir,
+      IndexConfig(segSize = 16))
+    assert(key(IndexBuilder.readManifestsFast(fs, dir)) ==
+      key(IndexBuilder.readManifests(fs, dir)))
+    graft.merge.Merger.compact(spark, dir)
+    assert(key(IndexBuilder.readManifestsFast(fs, dir)) ==
+      key(IndexBuilder.readManifests(fs, dir)))
+    assert(IndexBuilder.readManifestsFast(fs, dir).size == 1)
   }
 }
