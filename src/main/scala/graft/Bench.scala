@@ -173,6 +173,14 @@ object Bench {
       val pathIx = s"$scratch/ixpath-c$cpus-n$nDocs"
       val pfs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(pathIx), spark.sparkContext.hadoopConfiguration)
+      // wipe a cached index with a stale on-disk format (Searcher.open
+      // fails fast on foreign layouts, so the cache must migrate here)
+      if (pfs.exists(new org.apache.hadoop.fs.Path(
+            graft.build.IndexBuilder.statsPath(pathIx))) &&
+          IndexBuilder.readStats(pfs, pathIx).formatVersion !=
+            graft.model.IndexStats.CurrentFormat) {
+        pfs.delete(new org.apache.hadoop.fs.Path(pathIx), true)
+      }
       if (!pfs.exists(new org.apache.hadoop.fs.Path(
           graft.build.IndexBuilder.statsPath(pathIx)))) {
         IndexBuilder.build(spark,

@@ -636,6 +636,12 @@ object SparkEntry {
     "dd_ngram_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(docsTable(s, dir), "doc_id", "text", threshold = 0.7)
         .orderBy(col("id_a"), col("id_b"))),
+    // passage-level duplicated spans (Lee et al. 2021 ExactSubstr family,
+    // round-5): per doc, the 10-token windows whose exact text recurs in
+    // >= 2 distinct docs, and the tokens those windows cover
+    "dd_dupspans" -> ((s, dir) =>
+      Dedup.dupSpanStats(docsTable(s, dir), "doc_id", "text", window = 10)
+        .orderBy(col("id"))),
     // near-dup clusters: connected components over the LSH pair relation,
     // every non-singleton doc mapped to its component's canonical (min) id
     "dd_components" -> ((s, dir) =>
@@ -689,6 +695,13 @@ object SparkEntry {
     "sp_sample" -> ((s, dir) =>
       graft.ops.Sampling.contentSample(docsTable(s, dir), "text", 250)
         .select(col("doc_id").cast("long").as("id"))),
+    // stratified deterministic sampling (round-5): per-lang keep rates over
+    // the same content-addressed buckets (en 600 / de 200 / rest 50 per
+    // mille) — a stratum's sample == contentSample(rate) of that stratum
+    "sp_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.contentSampleStratified(docsTable(s, dir), "lang",
+          "text", Map("en" -> 600, "de" -> 200), defaultPerMille = 50)
+        .select(col("doc_id").cast("long").as("id"), col("lang"))),
     // benchmark decontamination: flag docs sharing any 5-gram with the
     // "eval set" (docs 0..9) — the n-gram-collision scrub
     "dc_ngram_overlap" -> ((s, dir) =>
@@ -697,6 +710,10 @@ object SparkEntry {
     // unigram log-probability scoring (relational LM-quality stand-in)
     "ql_unigram" -> ((s, dir) =>
       TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
+    // sparse TF-IDF featurizer, long form (round-5): smoothed idf + the
+    // L2-normalized weights cosine similarity consumes
+    "ql_tfidf" -> ((s, dir) =>
+      TextQuality.tfidfTerms(docsTable(s, dir), "doc_id", "text")),
     // Gopher-style repetition filters: top-2-gram + duplicate-5-gram
     // fractions (degenerate/boilerplate detectors)
     "ql_repetition" -> ((s, dir) =>
@@ -1315,6 +1332,30 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.7"""
         .stripMargin.replace("\n", " "),
+    // duplicated 10-token spans: exhaustive window extraction + distinct-doc
+    // counts (the engine's one-shuffle relational form, replayed literally)
+    "dd_dupspans" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |sp0 AS (SELECT doc_id, unnest([{'pos': i,
+        |    'sh': array_to_string(w[i+1:i+10], ' ')} FOR i IN range(0, len(w) - 9)]) AS s
+        |  FROM t WHERE len(w) >= 10),
+        |sp AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM sp0),
+        |dup AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS c FROM sp GROUP BY 1)
+        |  WHERE c >= 2),
+        |dsp AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (sh)),
+        |ns AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*)::BIGINT AS dup_spans FROM dsp GROUP BY 1),
+        |cov AS (SELECT doc_id, count(DISTINCT tp)::BIGINT AS dup_tokens FROM
+        |  (SELECT doc_id, unnest(range(pos, pos + 10)) AS tp FROM dsp) GROUP BY 1)
+        |SELECT t.doc_id AS id, len(t.w)::BIGINT AS ntok,
+        |  coalesce(ns.n_spans, 0)::BIGINT AS n_spans,
+        |  coalesce(nd.dup_spans, 0)::BIGINT AS dup_spans,
+        |  coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  CASE WHEN len(t.w) > 0
+        |    THEN round(coalesce(cov.dup_tokens, 0)::DOUBLE / len(t.w), 4)
+        |    ELSE 0.0 END AS dup_frac
+        |FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |  LEFT JOIN cov USING (doc_id)""".stripMargin.replace("\n", " "),
     "dd_embed_pairs" ->
       """WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
         |  unnest(range(len(embedding))) AS i FROM embeddings),
@@ -1384,6 +1425,29 @@ object SparkEntry {
         |  list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
         |    (a, x) -> a * 16 + x) % 1000 AS bucket FROM b)
         |SELECT doc_id AS id FROM v WHERE bucket < 250""".stripMargin.replace("\n", " "),
+    // stratified sampler: the sp_sample hex-fold with per-lang thresholds
+    "sp_stratified" ->
+      """WITH b AS (SELECT doc_id, lang, substr(sha256(text || 'sample'), 1, 8) AS h FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |  list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
+        |    (a, x) -> a * 16 + x) % 1000 AS bucket FROM b)
+        |SELECT doc_id AS id, lang FROM v WHERE bucket <
+        |  CASE WHEN lang = 'en' THEN 600 WHEN lang = 'de' THEN 200 ELSE 50 END"""
+        .stripMargin.replace("\n", " "),
+    // TF-IDF long form: smoothed idf ln((N+1)/(df+1)) + 1, per-doc L2 norm
+    "ql_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * (ln(((SELECT n FROM n) + 1.0) / (dfs.df + 1.0)) + 1.0) AS weight
+        |  FROM tf JOIN dfs USING (term)),
+        |nm AS (SELECT doc_id, sqrt(sum(weight * weight)) AS nrm FROM w GROUP BY 1)
+        |SELECT w.doc_id AS id, w.term, w.tf, round(w.weight, 4) AS weight,
+        |  round(w.weight / nm.nrm, 4) AS weight_l2
+        |FROM w JOIN nm USING (doc_id)""".stripMargin.replace("\n", " "),
     // decontamination: distinct shared 5-grams with the doc_id<10 bench set
     "dc_ngram_overlap" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),

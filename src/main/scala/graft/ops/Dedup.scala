@@ -319,4 +319,62 @@ object Dedup {
     require(converged, s"components did not converge in $maxIters rounds")
     labels.select(col("id"), col("comp").as("component"))
   }
+
+  /** Passage-level duplicated-span statistics (the ExactSubstr idea of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — approximated at fixed window size, the
+    * standard relational form): a doc's span of `window` consecutive word
+    * tokens starting at position p is DUPLICATED iff the identical token
+    * sequence occurs in >= `minDocs` DISTINCT docs corpus-wide. Reports per
+    * doc: token count, total spans, duplicated spans, the number of TOKENS
+    * covered by at least one duplicated span (the paper's removal unit),
+    * and that coverage as a fraction of the doc's tokens.
+    *
+    * Scale shape: span rows reach exactly ONE hash shuffle on the span text
+    * for the distinct-doc count (partial aggregation absorbs hot spans
+    * map-side — a boilerplate span that appears everywhere arrives at the
+    * reducer as one partial row per map task, the G2 argument), then one
+    * equi-join back on the same key and per-doc aggregations that shuffle
+    * only (id, counters). Nothing is collected; no cartesian exists. Token
+    * coverage explodes at most window * dupSpans rows per doc. */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   window: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(window >= 1 && minDocs >= 2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wLocal = window
+    // per-doc token counts (all docs, even span-less short ones)
+    val base = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) => (id, words(text).length.toLong) }
+      .toDF("id", "ntok")
+    // (id, pos, span-text) rows; docs shorter than the window emit none
+    val sp = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = words(text)
+        (0 to w.length - wLocal).iterator.map(p =>
+          (id, p, w.slice(p, p + wLocal).mkString(" ")))
+      }.toDF("id", "pos", "sh")
+    val dup = sp.groupBy(col("sh"))
+      .agg(countDistinct(col("id")).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("sh"))
+    val dupSp = sp.join(dup, Seq("sh"))
+    val nSpans = sp.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    val nDup = dupSp.groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
+    // tokens covered by >= 1 duplicated span: interval union via explode
+    val cov = dupSp
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("tp"))
+      .groupBy(col("id")).agg(countDistinct(col("tp")).as("dup_tokens"))
+    base.join(nSpans, Seq("id"), "left")
+      .join(nDup, Seq("id"), "left")
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("ntok"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("ntok") > 0,
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("ntok"), 4))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

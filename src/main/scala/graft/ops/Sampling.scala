@@ -43,4 +43,23 @@ object Sampling {
     require(perMille >= 0 && perMille <= 1000)
     df.filter(bucketCol(textCol, salt, 1000) < perMille)
   }
+
+  /** Stratified deterministic sampling (round-5): per-stratum keep rates
+    * (per mille) over the same content-addressed buckets as
+    * `contentSample` — duplicates still land together and membership stays
+    * independent of layout; a stratum's sample is exactly what
+    * contentSample(rate) would keep of that stratum. Strata absent from
+    * the map keep `defaultPerMille`. The strata->rate map rides the plan
+    * as a literal CASE chain (codegen'd), never a join — the map is
+    * config-sized (languages, sources), not data-sized. */
+  def contentSampleStratified(df: DataFrame, strataCol: String, textCol: String,
+                              perMille: Map[String, Int],
+                              defaultPerMille: Int = 0,
+                              salt: String = "sample"): DataFrame = {
+    require((defaultPerMille +: perMille.values.toSeq).forall(p => p >= 0 && p <= 1000))
+    val rate = perMille.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucketCol(textCol, salt, 1000) < rate)
+  }
 }

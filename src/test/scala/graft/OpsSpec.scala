@@ -62,6 +62,110 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.subsetOf(want.map(t => (t._1, t._2))))
   }
 
+  test("tfidfTerms: brute-force identity, L2 norm, minDf filter (round-5)") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "alpha beta alpha gamma",
+      1L -> "alpha delta delta",
+      2L -> "gamma gamma epsilon",
+      3L -> "")
+    val n = docs.size
+    // brute-force model of the pinned semantics (minDf = 1)
+    val tf = docs.flatMap { case (id, t) =>
+      Dedup.words(t).groupBy(identity).map { case (w, g) => (id, w, g.length.toLong) }
+    }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.size).toMap
+    def weight(t: Long, df: Int) = t * (math.log((n + 1.0) / (df + 1.0)) + 1.0)
+    val byDoc = tf.groupBy(_._1)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val want = byDoc.flatMap { case (id, rows) =>
+      val nrm = math.sqrt(rows.map(r => math.pow(weight(r._3, dfm(r._2)), 2)).sum)
+      rows.map(r => (id, r._2, r._3, r4(weight(r._3, dfm(r._2))),
+        r4(weight(r._3, dfm(r._2)) / nrm)))
+    }.toSet
+    val got = TextQuality.tfidfTerms(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // empty doc emits nothing; per-doc L2 norm property (sum of squares == 1)
+    assert(!got.exists(_._1 == 3L))
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val ss = rows.map(r => r._5 * r._5).sum
+      assert(math.abs(ss - 1.0) < 1e-3, s"doc $id L2 norm broke: $ss")
+    }
+    // minDf = 2 keeps only cross-doc terms (alpha df=2, gamma df=2)
+    val kept = TextQuality.tfidfTerms(docs.toDF("doc_id", "text"), "doc_id", "text",
+      minDf = 2).select("term").distinct().as[String].collect().toSet
+    assert(kept == Set("alpha", "gamma"))
+  }
+
+  test("contentSampleStratified: per-stratum == contentSample(rate) of the stratum") {
+    import spark.implicits._
+    val docs = (0 until 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr",
+        s"doc body $i ${(i * 31) % 97}"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val rates = Map("en" -> 700, "de" -> 200)
+    val got = graft.ops.Sampling.contentSampleStratified(df, "lang", "text",
+      rates, defaultPerMille = 50)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    // identity per stratum vs the unstratified sampler at that stratum's rate
+    Seq("en" -> 700, "de" -> 200, "fr" -> 50).foreach { case (lang, rate) =>
+      val strat = df.filter(col("lang") === lang)
+      val want = graft.ops.Sampling.contentSample(strat, "text", rate)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got.filter(_._2 == lang).map(_._1) == want, s"stratum $lang diverged")
+    }
+    // deterministic: re-running yields the same membership
+    val again = graft.ops.Sampling.contentSampleStratified(df, "lang", "text",
+      rates, defaultPerMille = 50)
+      .select("doc_id", "lang").as[(Long, String)].collect().toSet
+    assert(again == got)
+    assert(got.nonEmpty && got.size < docs.size)
+  }
+
+  test("dupSpanStats: brute-force identity on planted shared passages (round-5)") {
+    import spark.implicits._
+    val w = 10
+    // planted: docs 0/1/3 share an exact 12-token passage (doc 3 twice),
+    // doc 2 is all-distinct, doc 4 is shorter than the window, doc 5 empty
+    val passage = (0 until 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"alpha beta $passage gamma delta",
+      1L -> s"$passage omega",
+      2L -> (0 until 30).map(i => s"u$i").mkString(" "),
+      3L -> s"$passage zz $passage",
+      4L -> "short doc here",
+      5L -> "")
+    // brute-force model of the pinned semantics
+    val spans = docs.flatMap { case (id, t) =>
+      val ws = Dedup.words(t)
+      (0 to ws.length - w).map(p => (id, p, ws.slice(p, p + w).mkString(" ")))
+    }
+    val dupSet = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = docs.map { case (id, t) =>
+      val ws = Dedup.words(t)
+      val sp = spans.filter(_._1 == id)
+      val d = sp.filter(s => dupSet(s._3))
+      val cov = d.flatMap(s => s._2 until s._2 + w).distinct.size
+      (id, ws.length.toLong, sp.size.toLong, d.size.toLong, cov.toLong,
+        if (ws.nonEmpty) math.floor(cov.toDouble / ws.length * 1e4 + 0.5) / 1e4 else 0.0)
+    }.toSet
+    val got = Dedup.dupSpanStats(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // the planted shape is non-degenerate: shared passage detected, the
+    // distinct doc stays clean, short/empty docs report zeros
+    assert(want.exists { case (id, _, _, d, _, _) => id == 0L && d > 0 })
+    assert(want.exists { case (id, _, _, d, _, _) => id == 2L && d == 0 })
+    assert(want.exists { case (id, nt, ns, _, _, _) => id == 4L && nt == 3 && ns == 0 })
+    // no cartesian anywhere in the plan
+    val plan = Dedup.dupSpanStats(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("exact dedup canonicalizes planted exact duplicates") {
     import spark.implicits._
     val docs = Seq(0L -> "alpha beta gamma", 1L -> "delta", 2L -> "alpha beta gamma")
