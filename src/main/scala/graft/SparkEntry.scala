@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.{IndexBuilder, MultiFieldIndex}
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
-import graft.ops.{Decontam, Dedup, Multimodal, Similarity, TextQuality}
+import graft.ops.{Decontam, Dedup, Fusion, Multimodal, Similarity, TextQuality}
 import graft.search.{MultiFieldSearcher, Searcher}
 import graft.streaming.StreamingIngest
 
@@ -677,6 +677,39 @@ object SparkEntry {
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
     }),
+    // hybrid lexical x vector retrieval (round-5): the engine's BM25 hits
+    // for 'spark' fused with exact cosine top-k around the vec_id=0
+    // embedding via reciprocal-rank fusion (Fusion.rrf, kRrf=60); the
+    // index docId maps to the embedding id through the stored path. Each
+    // side is ranked exhaustively on round(score,6) with id tie-break (the
+    // topk FP protocol) and contributes its top 30 to the fusion.
+    "hy_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val kAll = handle.stats.numDocs.toInt + 1
+      val idMap = s.read.parquet(IndexBuilder.docstatsDir(indexFor(s, dir)))
+        .select(col("docId"), substring(col("path"), 3, 7).cast("long").as("id"))
+      val lex = Searcher.search(s, handle, "spark", kAll)
+        .join(idMap, Seq("docId"))
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"id".asc).limit(30)
+        .select($"id", $"r6".as("score"))
+      val vec = Similarity.cosineTopK(embTable(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), kAll)
+        .withColumn("r6", round($"sim", 6))
+        .orderBy($"r6".desc, $"id".asc).limit(30)
+        .select($"id", $"r6".as("score"))
+      Fusion.rrf(Seq(lex, vec))
+        .select($"id", round($"rrf", 6).as("score"), $"n_lists")
+        .orderBy($"score".desc, $"id".asc)
+    }),
+    // SemDeDup-style representative pruning (round-5): one survivor (min
+    // id) per connected cosine>=0.45 near-dup group over the embeddings,
+    // singletons untouched
+    "dd_prune" -> ((s, dir) =>
+      Dedup.keepRepresentatives(embTable(s, dir), "vec_id",
+        Similarity.cosinePairs(embTable(s, dir), "vec_id", "embedding", 0.45))
+        .orderBy(col("id"))),
     // PII-style redaction over deterministically augmented text (the
     // synthetic corpus has no PII, so both engines inject the same
     // email/IP/long-number suffix before scrubbing)
@@ -1381,6 +1414,52 @@ object SparkEntry {
         |reach AS (SELECT a AS id, b AS r FROM e
         |  UNION SELECT rc.id, e.b FROM reach rc JOIN e ON e.a = rc.r)
         |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id"""
+        .stripMargin.replace("\n", " "),
+    // hybrid RRF: rounded-exhaustive BM25 ranks (via the shared cte, docid
+    // -> embedding id through the path digits) and rounded cosine ranks,
+    // each side top 30, fused 1/(60+rank)
+    "hy_rrf" ->
+      (cte + """, txt AS (
+        |  SELECT CAST(substr(i.path, 3, 7) AS BIGINT) AS id, round(c.s, 6) AS r6
+        |  FROM contrib c JOIN ids i USING (docid) WHERE c.term = 'spark'),
+        |txtr AS (SELECT id, rank FROM (
+        |  SELECT id, row_number() OVER (ORDER BY r6 DESC, id ASC) AS rank FROM txt) t
+        |  WHERE rank <= 30),
+        |q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+        |  unnest(range(len(embedding))) AS i FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |sv AS (SELECT u.vec_id AS id, sum(u.v*q.qv) AS dot, sum(u.v*u.v) AS n2
+        |  FROM u JOIN q USING (i) GROUP BY u.vec_id),
+        |vr AS (SELECT id, round(dot / sqrt(n2 * (SELECT sum(qv*qv) FROM q)), 6) AS r6 FROM sv),
+        |vecr AS (SELECT id, rank FROM (
+        |  SELECT id, row_number() OVER (ORDER BY r6 DESC, id ASC) AS rank FROM vr) v
+        |  WHERE rank <= 30),
+        |fused AS (SELECT id, sum(1.0/(60 + rank)) AS rrf, count(*)::BIGINT AS n_lists
+        |  FROM (SELECT * FROM txtr UNION ALL SELECT * FROM vecr) b GROUP BY id)
+        |SELECT id, round(rrf, 6) AS score, n_lists FROM fused
+        |ORDER BY score DESC, id ASC""".stripMargin.replace("\n", " ")),
+    // SemDeDup prune: exhaustive cosine>=0.45 pair graph + recursive
+    // reachability (component = min reachable id); survivors = every id
+    // whose component IS itself (or untouched singleton)
+    "dd_prune" ->
+      """WITH RECURSIVE u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |n AS (SELECT vec_id, sum(v*v) AS n2 FROM u GROUP BY vec_id),
+        |d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v*b.v) AS dot
+        |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+        |    dot / sqrt(na.n2 * nb.n2) AS sim
+        |  FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b) s
+        |  WHERE sim >= 0.45),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+        |reach AS (SELECT a AS id, b AS r FROM e
+        |  UNION SELECT rc.id, e.b FROM reach rc JOIN e ON e.a = rc.r),
+        |dropped AS (SELECT id FROM (
+        |  SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id) c
+        |  WHERE component <> id)
+        |SELECT vec_id AS id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM dropped) ORDER BY id"""
         .stripMargin.replace("\n", " "),
     "dd_simhash" -> OracleSql.ddSimhash(seed = 7L),
     "dd_simhash_pairs" -> OracleSql.ddSimhashPairs(maxHamming = 6, seed = 7L),

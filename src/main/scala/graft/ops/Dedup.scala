@@ -377,4 +377,27 @@ object Dedup {
           round(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("ntok"), 4))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** SemDeDup-style representative pruning (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540 — public method): given a near-duplicate PAIR
+    * relation (any of this file's pair producers, or [[Similarity
+    * .cosinePairs]] over embeddings for the semantic variant), keep exactly
+    * ONE representative per connected near-dup group — the minimum id, the
+    * deterministic stand-in for the paper's keep-one-per-cluster rule — and
+    * every untouched singleton. Returns the surviving ids.
+    *
+    * Scale shape: [[components]] label propagation (O(log chain) rounds of
+    * bounded equi-joins over the EDGE set only — near-dup edges, not the
+    * corpus) followed by one left-anti equi-join of the full id set against
+    * the dropped labels. Nothing collects; the corpus-sized side crosses
+    * the wire once, hashed on id. */
+  def keepRepresentatives(ids: DataFrame, idCol: String,
+                          pairs: DataFrame): DataFrame = {
+    val dropped = components(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    ids.select(col(idCol).cast("long").as("id"))
+      .join(dropped, Seq("id"), "left_anti")
+  }
 }

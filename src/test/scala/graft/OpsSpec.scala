@@ -3,8 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
+import graft.build.IndexBuilder
 import graft.corpus.SynthCorpus
-import graft.ops.{Dedup, Similarity, TextQuality}
+import graft.ops.{Dedup, Fusion, Similarity, TextQuality}
 
 /** Training-data operators: LSH completeness vs exhaustive ground truth,
   * ANN recall, and pinned text-metric semantics. */
@@ -499,5 +500,64 @@ class OpsSpec extends AnyFunSuite {
     assert(l.getString(2) == "en")
     val f = TextQuality.fingerprint(df, "doc_id", "text").collect()(0)
     assert(f.getString(1).length == 64)
+  }
+
+  test("rrf fusion: hand model + hybridTopK vs independently computed ranks (round-5)") {
+    import spark.implicits._
+    // hand model on two explicit lists
+    val l1 = Seq((10L, 5.0), (11L, 4.0), (12L, 3.0)).toDF("id", "score")
+    val l2 = Seq((12L, 0.9), (13L, 0.8)).toDF("id", "score")
+    val got = Fusion.rrf(Seq(l1, l2), kRrf = 60).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val exp = Map(
+      10L -> (1.0 / 61, 1L), 11L -> (1.0 / 62, 1L),
+      12L -> (1.0 / 61 + 1.0 / 63, 2L), 13L -> (1.0 / 62, 1L))
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, (r, n)) =>
+      assert(math.abs(got(id)._1 - r) < 1e-12 && got(id)._2 == n, s"id=$id got=${got(id)}")
+    }
+
+    // end-to-end: fixture index (docId == i by construction) + synthetic
+    // embeddings with a known cosine order; fused == hand-fused ranks
+    val dir = SparkTestBase.tmpDir("hybrid")
+    val corpus = spark.createDataset(TestFixtures.fixture5.map { case (i, text) =>
+      graft.model.CorpusRow("r0", f"d/$i%07d.txt", f"$i%040x", "text", text)
+    })
+    IndexBuilder.build(spark, corpus, dir, IndexBuilder.IndexConfig(segSize = 8))
+    val handle = graft.search.Searcher.open(spark, dir)
+    // vectors ranked 0,1,2,3,4 against query (1,0,0,0) by construction
+    val emb = (0 until 5).map(i => (i.toLong, Array(1.0f, 0.1f * i, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val qv = Array(1.0f, 0f, 0f, 0f)
+    val lexRank = graft.search.Searcher.search(spark, handle, "search", 10)
+      .collect().zipWithIndex.map { case (h, i) => h.docId -> (i + 1) }.toMap
+    val vecRank = (0 until 5).map(i => i.toLong -> (i + 1)).toMap
+    val expFused = (lexRank.keySet ++ vecRank.keySet).map { id =>
+      id -> (lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        + vecRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+    }.toMap
+    val fused = Fusion.hybridTopK(spark, handle, "search", null,
+        emb, "vec_id", "embedding", qv, k = 10, kPer = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fused.map(_._1).toSet == expFused.keySet)
+    fused.foreach { case (id, s) =>
+      assert(math.abs(s - expFused(id)) < 1e-12, s"id=$id got=$s exp=${expFused(id)}")
+    }
+    // fused order is descending with id tie-break
+    assert(fused.sortBy { case (id, s) => (-s, id) }.toSeq == fused.toSeq)
+  }
+
+  test("keepRepresentatives: one survivor per component, singletons kept (round-5)") {
+    import spark.implicits._
+    val ids = (1L to 8L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.keepRepresentatives(ids, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L, 7L, 8L))
+    // no pairs -> everything survives
+    val all = Dedup.keepRepresentatives(ids, "id",
+        spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(all == (1L to 8L).toSet)
   }
 }
