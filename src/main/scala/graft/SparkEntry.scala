@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.{IndexBuilder, MultiFieldIndex}
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
-import graft.ops.{Decontam, Dedup, Fusion, Multimodal, Similarity, TextQuality}
+import graft.ops.{Decontam, Dedup, Fusion, Multimodal, Packing, Similarity, TextQuality}
 import graft.search.{MultiFieldSearcher, Searcher}
 import graft.streaming.StreamingIngest
 
@@ -720,6 +720,26 @@ object SparkEntry {
           lit(".1 id 1234567890"), col("doc_id")).as("text"))
       TextQuality.redact(aug, "doc_id", "text")
     }),
+    // LM-pretraining sequence packing plan (round-5): concat-then-chunk at
+    // capacity 512 over ascending doc_id; distributed prefix sum (range
+    // repartition + broadcast per-partition offsets), no global window
+    "pk_plan" -> ((s, dir) =>
+      Packing.packPlan(docsTable(s, dir), "doc_id", "text", 512)
+        .orderBy(col("id"))),
+    // C4-style line filters (round-5): the synthetic corpus has no line
+    // structure or punctuation, so both engines apply the same
+    // deterministic augmentation first (the ql_redact precedent): 'the '
+    // -> 'the.\n' (line breaks with terminal punctuation), plus pinned
+    // lorem-ipsum / brace suffixes on doc_id % 11 / % 7
+    "ql_c4lines" -> ((s, dir) => {
+      val aug = docsTable(s, dir).select(col("doc_id"),
+        concat(
+          regexp_replace(col("text"), "the ", "the.\n"),
+          when(col("doc_id") % 11 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" {")).otherwise(lit("")))
+          .as("text"))
+      TextQuality.lineStats(aug, "doc_id", "text").orderBy(col("id"))
+    }),
     // deterministic content-addressed split/sample (train/val/test by
     // sha256 bucket: duplicate texts land in the SAME split - no leakage)
     "sp_split" -> ((s, dir) =>
@@ -740,6 +760,19 @@ object SparkEntry {
     "dc_ngram_overlap" -> ((s, dir) =>
       Decontam.flagNgramOverlap(docsTable(s, dir), "doc_id", "text",
         docsTable(s, dir).filter(col("doc_id") < 10), "text", n = 5)),
+    // Bloom-prefiltered decontamination (round-5): the large-eval-set
+    // path — broadcast Bloom probe gates the corpus side before the exact
+    // shuffle join; output bit-identical to dc_ngram_overlap
+    "dc_bloom" -> ((s, dir) =>
+      Decontam.flagNgramOverlapBloom(docsTable(s, dir), "doc_id", "text",
+        docsTable(s, dir).filter(col("doc_id") < 10), "text", n = 5,
+        expectedNgrams = 1L << 16)),
+    // per-source quota cap (round-5): keep the 10 highest-n_chars docs per
+    // source (RefinedWeb-style per-domain cap), bounded-heap aggregation
+    "sp_cap" -> ((s, dir) =>
+      graft.ops.Quota.capPerGroup(docsTable(s, dir), "source", "doc_id",
+          "n_chars", 10)
+        .orderBy(col("grp"), col("rank"))),
     // unigram log-probability scoring (relational LM-quality stand-in)
     "ql_unigram" -> ((s, dir) =>
       TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
@@ -1487,6 +1520,42 @@ object SparkEntry {
         |    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
         |    '[0-9]{10,}', '<NUM>', 'g') AS redacted
         |FROM a""".stripMargin.replace("\n", " "),
+    // packing plan: DuckDB's global window cumsum IS the sequential model
+    // the distributed prefix sum must reproduce; // is integer division
+    "pk_plan" ->
+      """WITH t AS (SELECT doc_id::BIGINT AS id,
+        |  len(regexp_extract_all(text, '\S+'))::BIGINT AS ntok FROM documents),
+        |c AS (SELECT id, ntok, coalesce(sum(ntok) OVER (ORDER BY id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_before FROM t)
+        |SELECT id, ntok, tok_before,
+        |  (tok_before // 512)::BIGINT AS first_seq,
+        |  (tok_before % 512)::BIGINT AS first_off,
+        |  (CASE WHEN ntok = 0 THEN tok_before // 512
+        |        ELSE (tok_before + ntok - 1) // 512 END)::BIGINT AS last_seq,
+        |  (CASE WHEN ntok = 0 THEN 0
+        |        ELSE (tok_before + ntok - 1) // 512 - tok_before // 512 + 1
+        |   END)::BIGINT AS n_seqs
+        |FROM c ORDER BY id""".stripMargin.replace("\n", " "),
+    // C4 line filter: identical augmentation (literal replace — the
+    // pattern has no regex metachars — plus pinned suffixes), then the
+    // same line split (trailing empties kept) and keep rules
+    "ql_c4lines" ->
+      """WITH aug AS (SELECT doc_id::BIGINT AS id,
+        |  replace(text, 'the ', 'the.' || chr(10)) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END) AS t FROM documents),
+        |l AS (SELECT id, unnest(string_split(t, chr(10))) AS line FROM aug),
+        |k AS (SELECT id, count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN regexp_matches(line, '[.!?"]\s*$')
+        |           AND len(regexp_extract_all(line, '\S+')) >= 5
+        |      THEN 1 ELSE 0 END)::BIGINT AS kept_lines FROM l GROUP BY id),
+        |f AS (SELECT a.id, k.n_lines, k.kept_lines,
+        |  round(kept_lines::DOUBLE / n_lines, 4) AS kept_frac,
+        |  contains(lower(a.t), 'lorem ipsum') AS has_lorem,
+        |  contains(a.t, '{') AS has_brace FROM aug a JOIN k USING (id))
+        |SELECT id, n_lines, kept_lines, kept_frac, has_lorem, has_brace,
+        |  (kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+        |FROM f ORDER BY id""".stripMargin.replace("\n", " "),
     // content-split: first 4 sha256 bytes of (text||salt) as a big-endian
     // int mod 1000 (hex fold), then the per-mille thresholds
     "sp_split" ->
@@ -1539,6 +1608,28 @@ object SparkEntry {
         |SELECT d.doc_id AS id, coalesce(h.hits, 0)::BIGINT AS hits,
         |  coalesce(h.hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+    // Bloom-prefiltered decontamination: bit-identical output to the exact
+    // op (false positives removed by the exact join), so the SAME oracle
+    "dc_bloom" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   [w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]
+        |    FOR i IN range(1, len(w)-3)])) AS ngram
+        |  FROM t WHERE len(w) >= 5),
+        |b AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 10),
+        |h AS (SELECT g.doc_id, count(*)::BIGINT AS hits FROM g JOIN b USING (ngram) GROUP BY 1)
+        |SELECT d.doc_id AS id, coalesce(h.hits, 0)::BIGINT AS hits,
+        |  coalesce(h.hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+    // per-source quota cap: top-10 by n_chars (desc, id asc tiebreak) —
+    // the window model the bounded-heap Aggregator must reproduce
+    "sp_cap" ->
+      """WITH r AS (SELECT source AS grp,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id)::BIGINT AS rank,
+        |  doc_id::BIGINT AS id, n_chars::DOUBLE AS score FROM documents)
+        |SELECT grp, rank, id, score FROM r WHERE rank <= 10 ORDER BY grp, rank"""
         .stripMargin.replace("\n", " "),
     // repetition fractions (pinned Gopher-style formulas)
     "ql_repetition" ->

@@ -50,4 +50,39 @@ object Decontam {
         coalesce(col("hits"), lit(0L)).as("hits"),
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Same output as [[flagNgramOverlap]], for eval sets too LARGE to
+    * broadcast as strings (a full eval-suite union can run to 10^8+
+    * distinct n-grams): a Bloom filter over the benchmark n-grams — a few
+    * bits per entry instead of the strings — is broadcast and probed
+    * MAP-SIDE, so the corpus-side exchange of the exact shuffle join
+    * carries only probable hits (at a 10^12-doc corpus vs any eval set,
+    * that drops ~all of the shuffle). False positives are then removed by
+    * the exact equi-join, so the result is bit-identical to the exact op.
+    * The probe is a UDF by necessity (no codegen'd Bloom probe is exposed
+    * to the column API); it gates rows BEFORE the exchange, where the
+    * saved shuffle dwarfs the call overhead. */
+  def flagNgramOverlapBloom(docs: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchTextCol: String,
+                            n: Int = 13, expectedNgrams: Long = 1L << 24,
+                            fpp: Double = 0.01): DataFrame = {
+    require(n >= 1)
+    val docNg = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(ngramsCol(textCol, n)).as("ngram"))
+    val benchNg = bench
+      .select(explode(ngramsCol(benchTextCol, n)).as("ngram"))
+      .distinct()
+    val bloom = benchNg.stat.bloomFilter("ngram", expectedNgrams, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomB.value.mightContain(s))
+    val hits = docNg.filter(mightContain(col("ngram")))
+      .join(benchNg, Seq("ngram"))
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -197,4 +197,35 @@ object TextQuality {
         round(col("weight"), 4).as("weight"),
         round(col("weight") / col("nrm"), 4).as("weight_l2"))
   }
+
+  /** C4-style line-level quality filter (Raffel et al. 2020 §2.2, the
+    * public heuristics behind the C4 corpus): a line is KEPT when it ends
+    * in terminal punctuation (`.` `!` `?` `"`, optionally followed by
+    * trailing whitespace) AND carries at least 5 whitespace tokens; a
+    * document is KEPT when at least 3 of its lines survive and it contains
+    * neither `lorem ipsum` (case-insensitive) nor a `{` (C4's code
+    * detector). Lines split on `\n` with trailing empties preserved
+    * (`split(-1)` — the DuckDB `string_split` convention), so the two
+    * engines see identical line sets. Per-row narrow transform — scales
+    * embarrassingly; formulas pinned for the oracle. */
+  def lineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val lines = text.split("\n", -1)
+        val kept = lines.count { ln =>
+          ln.matches("(?s).*[.!?\"]\\s*") &&
+            "\\S+".r.findAllIn(ln).size >= 5
+        }
+        val hasLorem = text.toLowerCase.contains("lorem ipsum")
+        val hasBrace = text.contains("{")
+        (id, lines.length.toLong, kept.toLong,
+          r4(kept.toDouble / lines.length),
+          hasLorem, hasBrace,
+          kept >= 3 && !hasLorem && !hasBrace)
+      }
+      .toDF("id", "n_lines", "kept_lines", "kept_frac",
+        "has_lorem", "has_brace", "keep")
+  }
 }

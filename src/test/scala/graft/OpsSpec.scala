@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.build.IndexBuilder
 import graft.corpus.SynthCorpus
-import graft.ops.{Dedup, Fusion, Similarity, TextQuality}
+import graft.ops.{Dedup, Fusion, Packing, Similarity, TextQuality}
 
 /** Training-data operators: LSH completeness vs exhaustive ground truth,
   * ANN recall, and pinned text-metric semantics. */
@@ -449,6 +449,55 @@ class OpsSpec extends AnyFunSuite {
     assert(out.find(_._1 == 6L).get._2 == 0L)
   }
 
+  test("bloom decontamination == exact op bit-identically (round-5)") {
+    import spark.implicits._
+    // 60 docs: ~1/3 share a planted 5-gram with the bench set, rest clean
+    val planted = "alpha beta gamma delta epsilon"
+    val docs = (0L until 60L).map { i =>
+      val body =
+        if (i < 3) s"$planted bench tail ${i} marker"
+        else if (i % 3 == 0) s"lead ${i} $planted trailing words here"
+        else s"doc ${i} carries only its own tokens w${i}a w${i}b w${i}c w${i}d"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" < 3)
+    val exact = graft.ops.Decontam
+      .flagNgramOverlap(docs, "doc_id", "text", bench, "text", n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // tiny bloom (forces a real false-positive regime) still exact output
+    for (expected <- Seq(16L, 1L << 16)) {
+      val got = graft.ops.Decontam
+        .flagNgramOverlapBloom(docs, "doc_id", "text", bench, "text", n = 5,
+          expectedNgrams = expected, fpp = 0.2)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == exact, s"expectedNgrams=$expected")
+    }
+    assert(exact.count(_._3) > 3 && exact.exists(!_._3))
+  }
+
+  test("capPerGroup: bounded heap == window row_number model (round-5)") {
+    import spark.implicits._
+    // 4 groups, skewed sizes (1..40), planted score ties inside groups
+    val rows = for {
+      (g, size) <- Seq(("a", 40), ("b", 17), ("c", 5), ("d", 1))
+      i <- 0 until size
+    } yield (g, (g.hashCode.abs % 100) * 1000L + i, (i % 7).toDouble)
+    val df = rows.toDF("src", "id", "score").repartition(5)
+    for (k <- Seq(1, 3, 10)) {
+      val got = graft.ops.Quota.capPerGroup(df, "src", "id", "score", k)
+        .as[(String, Long, Long, Double)].collect()
+        .sortBy { case (g, r, _, _) => (g, r) }.toSeq
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, grp) =>
+        grp.map { case (_, id, s) => (s, id) }
+          .sortBy { case (s, id) => (-s, id) }.take(k).zipWithIndex
+          .map { case ((s, id), i) => (g, (i + 1).toLong, id, s) }
+      }.sortBy { case (g, r, _, _) => (g, r) }
+      assert(got == exp, s"k=$k")
+      // no group exceeds k rows
+      assert(got.groupBy(_._1).values.forall(_.size <= k))
+    }
+  }
+
   test("unigram log-prob: corpus-distribution mean vs brute force") {
     import spark.implicits._
     val docs = Seq(
@@ -545,6 +594,53 @@ class OpsSpec extends AnyFunSuite {
     }
     // fused order is descending with id tie-break
     assert(fused.sortBy { case (id, s) => (-s, id) }.toSeq == fused.toSeq)
+  }
+
+  test("packPlan: sequential prefix model identity + partition invariance (round-5)") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "a b c"), (10L, ""), (11L, "one two three four five six seven"),
+      (20L, (1 to 25).map(i => s"w$i").mkString(" ")), (21L, "x"),
+      (40L, Seq.fill(9)("t").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val cap = 8L
+    var run = 0L
+    val exp = docs.sortBy(_._1).map { case (id, t) =>
+      val n = "\\S+".r.findAllIn(t).size.toLong
+      val before = run; run += n
+      val first = before / cap
+      val last = if (n == 0) first else (before + n - 1) / cap
+      (id, n, before, first, before % cap, last,
+        if (n == 0) 0L else last - first + 1)
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = Packing.packPlan(df, "doc_id", "text", cap, parts)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(got.toSeq == exp, s"parts=$parts")
+    }
+  }
+
+  test("lineStats: C4 line rules on hand fixtures (round-5)") {
+    import spark.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      (1L, Seq("one two three four five.", "six seven eight nine ten!",
+        "a b c d e?", "tail no punct").mkString(nl)),
+      (2L, Seq("short line.", "another tiny.", "third one.").mkString(nl)),
+      (3L, "this has lorem ipsum somewhere and one two three four five six."),
+      (4L, "code line one two three {" + nl),
+      (5L, ""))
+    val got = TextQuality.lineStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(got(0) == ((1L, 4L, 3L, 0.75, false, false, true)))
+    assert(got(1) == ((2L, 3L, 0L, 0.0, false, false, false)))
+    assert(got(2) == ((3L, 1L, 1L, 1.0, true, false, false)))
+    assert(got(3) == ((4L, 2L, 0L, 0.0, false, true, false)))
+    assert(got(4) == ((5L, 1L, 0L, 0.0, false, false, false)))
   }
 
   test("keepRepresentatives: one survivor per component, singletons kept (round-5)") {
