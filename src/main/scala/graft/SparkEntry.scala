@@ -7,7 +7,7 @@ import graft.analysis.Analyzer
 import graft.build.{IndexBuilder, MultiFieldIndex}
 import graft.build.IndexBuilder.IndexConfig
 import graft.corpus.CorpusSource
-import graft.ops.{Decontam, Dedup, Fusion, Multimodal, Packing, Similarity, TextQuality}
+import graft.ops.{CodeQuality, Decontam, Dedup, Fusion, Multimodal, Packing, Similarity, TextQuality}
 import graft.search.{MultiFieldSearcher, Searcher}
 import graft.streaming.StreamingIngest
 
@@ -419,6 +419,10 @@ object SparkEntry {
     // Whoosh Frequency weighting: score = raw tf (idf = 1, boost only)
     "ft_topk_freq" -> ((s, dir) =>
       topk(s, dir, "spark OR merge^2", graft.search.FrequencyWeighting)),
+    // Whoosh FunctionWeighting (round-5): user-supplied scoring function;
+    // the pinned LogTf instance — score = idf * (1 + ln tf)
+    "ft_topk_funcw" -> ((s, dir) =>
+      topk(s, dir, "spark OR merge", graft.search.FunctionWeighting.LogTf)),
     // match-all (Whoosh Every) via top-level pure negation: "NOT spark" ==
     // Every NOT spark, constant score 1.0, ties break by docid
     "ft_topk_every" -> ((s, dir) => topk(s, dir, "NOT spark")),
@@ -739,6 +743,26 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0, lit(" {")).otherwise(lit("")))
           .as("text"))
       TextQuality.lineStats(aug, "doc_id", "text").orderBy(col("id"))
+    }),
+    // Stack/StarCoder-style code-file quality filters (round-5) over the
+    // derived code shape; same deterministic-augmentation precedent as
+    // ql_c4lines ('the ' -> 'the\n' line breaks, pinned autogen-marker /
+    // base64-run / 1200-char-line suffixes on doc_id moduli)
+    "cq_stats" -> ((s, dir) => {
+      val aug = docsTable(s, dir).select(
+        format_string("r%02d", col("doc_id") % 97).as("repo"),
+        format_string("d/%07d.txt", col("doc_id")).as("path"),
+        col("lang"),
+        concat(
+          regexp_replace(col("text"), "the ", "the\n"),
+          when(col("doc_id") % 13 === 0, lit(" do not edit")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0, concat(lit(" "), repeat(lit("Ab0+"), 20)))
+            .otherwise(lit("")),
+          when(col("doc_id") % 19 === 0, concat(lit(" "), repeat(lit("x"), 1200)))
+            .otherwise(lit("")))
+          .as("content"))
+      CodeQuality.stats(aug, "content", "repo", "path", "lang")
+        .orderBy(col("repo"), col("path"))
     }),
     // deterministic content-addressed split/sample (train/val/test by
     // sha256 bucket: duplicate texts land in the SAME split - no leakage)
@@ -1135,6 +1159,12 @@ object SparkEntry {
     // TF_IDF weighting: score = sum over matching terms of idf * tf
     "ft_topk_tfidf" -> (cte + " " + rank(
       """SELECT f.docid, sum((ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) * f.tf) AS score
+        | FROM tf f JOIN dft d USING (term) CROSS JOIN params p
+        | WHERE f.term IN ('spark','merge') GROUP BY f.docid"""
+        .stripMargin.replace("\n", " "))),
+    // FunctionWeighting LogTf: per-term contribution = idf * (1 + ln tf)
+    "ft_topk_funcw" -> (cte + " " + rank(
+      """SELECT f.docid, sum((ln(p.n::DOUBLE / (d.df + 1.0)) + 1.0) * (1.0 + ln(f.tf))) AS score
         | FROM tf f JOIN dft d USING (term) CROSS JOIN params p
         | WHERE f.term IN ('spark','merge') GROUP BY f.docid"""
         .stripMargin.replace("\n", " "))),
@@ -1556,6 +1586,36 @@ object SparkEntry {
         |SELECT id, n_lines, kept_lines, kept_frac, has_lorem, has_brace,
         |  (kept_lines >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
         |FROM f ORDER BY id""".stripMargin.replace("\n", " "),
+    // code-quality filters: identical augmentation, pinned Stack/StarCoder
+    // formulas (lines with trailing empties, rounded fractions, markers)
+    "cq_stats" ->
+      """WITH aug AS (SELECT
+        |  printf('r%02d', doc_id % 97) AS repo,
+        |  printf('d/%07d.txt', doc_id) AS path,
+        |  lang,
+        |  replace(text, 'the ', 'the' || chr(10)) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN ' do not edit' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 17 = 0 THEN ' ' || repeat('Ab0+', 20) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 19 = 0 THEN ' ' || repeat('x', 1200) ELSE '' END) AS content
+        |  FROM documents),
+        |m AS (SELECT repo, path, lang, content,
+        |  string_split(content, chr(10)) AS ls,
+        |  len(content) AS cl FROM aug),
+        |x AS (SELECT repo, path, lang,
+        |  len(ls)::BIGINT AS n_lines,
+        |  coalesce(list_max(list_transform(ls, x -> len(x))), 0)::BIGINT AS max_line_len,
+        |  round(list_sum(list_transform(ls, x -> len(x)))::DOUBLE / len(ls), 4) AS avg_line_len,
+        |  CASE WHEN cl = 0 THEN 0.0 ELSE round(len(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / cl, 4) END AS alnum_frac,
+        |  CASE WHEN cl = 0 THEN 0.0 ELSE round(len(regexp_replace(content, '[^A-Za-z]', '', 'g'))::DOUBLE / cl, 4) END AS alpha_frac,
+        |  (contains(lower(content), 'auto-generated') OR contains(lower(content), 'do not edit')
+        |    OR contains(lower(content), 'generated by')) AS autogen,
+        |  regexp_matches(content, '[A-Za-z0-9+/=]{64,}') AS has_long_run
+        |  FROM m)
+        |SELECT repo, path, lang, n_lines, max_line_len, avg_line_len, alnum_frac, alpha_frac,
+        |  autogen, has_long_run,
+        |  (max_line_len <= 1000 AND avg_line_len <= 100 AND alnum_frac >= 0.25
+        |   AND NOT autogen AND NOT has_long_run) AS keep
+        |FROM x ORDER BY repo, path""".stripMargin.replace("\n", " "),
     // content-split: first 4 sha256 bytes of (text||salt) as a big-endian
     // int mod 1000 (hex fold), then the per-mille thresholds
     "sp_split" ->

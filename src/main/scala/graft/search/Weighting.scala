@@ -52,3 +52,33 @@ case object FrequencyWeighting extends Weighting {
     effIdf * tf
   def upperBound(effIdf: Double, maxTf: Int): Double = effIdf * maxTf
 }
+
+/** Whoosh FunctionWeighting ([W] whoosh/scoring.py `FunctionWeighting`: a
+  * model built from a user-supplied scoring function): the caller provides
+  * the three pure pieces the kernel contract needs as plain Scala
+  * functions. The WAND dominance obligation
+  * (`upperBoundFn(e, m) >= scoreFn(e, tf, fl, avgfl)` for all tf <= m,
+  * fl >= 0) is the CALLER's to uphold — a violating bound silently drops
+  * hits, exactly as a mis-stated Whoosh function mis-ranks. Functions must
+  * be serializable (plain lambdas are); they ship to executors inside the
+  * kernel closures. */
+final case class FunctionWeighting(
+    idfFn: (Long, Long) => Double,
+    scoreFn: (Double, Int, Int, Double) => Double,
+    upperBoundFn: (Double, Int) => Double) extends Weighting {
+  def idf(df: Long, n: Long): Double = idfFn(df, n)
+  def score(effIdf: Double, tf: Int, fl: Int, avgfl: Double): Double =
+    scoreFn(effIdf, tf, fl, avgfl)
+  def upperBound(effIdf: Double, maxTf: Int): Double =
+    upperBoundFn(effIdf, maxTf)
+}
+
+object FunctionWeighting {
+  /** Pinned example instance (and the `ft_topk_funcw` oracle target):
+    * sublinear tf saturation, length-independent —
+    * score = effIdf * (1 + ln tf). Dominance holds: monotone in tf. */
+  val LogTf: FunctionWeighting = FunctionWeighting(
+    (df, n) => BM25.idf(df, n),
+    (effIdf, tf, _, _) => effIdf * (1.0 + math.log(tf.toDouble)),
+    (effIdf, maxTf) => effIdf * (1.0 + math.log(maxTf.toDouble)))
+}

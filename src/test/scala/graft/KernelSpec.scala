@@ -75,9 +75,9 @@ class KernelSpec extends AnyFunSuite with PropSupport {
     }
   }
 
-  test("pluggable weighting: TF_IDF and Frequency rank-identical to oracle") {
+  test("pluggable weighting: TF_IDF, Frequency, FunctionWeighting rank-identical to oracle") {
     forSamples(genCorpus, genQuery) { (docs, qs) =>
-      Seq(TfIdfWeighting, FrequencyWeighting).foreach { w =>
+      Seq(TfIdfWeighting, FrequencyWeighting, FunctionWeighting.LogTf).foreach { w =>
         val (lists, stats) = TestFixtures.memSegment(docs)
         val ref = new RefModel(docs, w = w)
         val q = QueryParser.parse(qs)

@@ -643,6 +643,40 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4) == ((5L, 1L, 0L, 0.0, false, false, false)))
   }
 
+  test("codeQuality stats: pinned Stack/StarCoder rules on hand fixtures (round-5)") {
+    import spark.implicits._
+    val nl = "\n"
+    val docs = Seq(
+      // clean keeper: 3 short alpha lines
+      ("r1", "a.sc", "ok line one here" + nl + "ok line two here" + nl + "tail"),
+      // minified: one 1200-char line (also trips the long-run detector)
+      ("r1", "b.js", "y" * 1200),
+      // auto-generated marker, mixed case
+      ("r2", "c.py", "# Auto-Generated file" + nl + "pass"),
+      // base64 blob inside otherwise-fine text
+      ("r2", "d.txt", "short line" + nl + ("QWJj+/=A" * 10)),
+      // low alnum fraction (punctuation soup)
+      ("r3", "e.dat", "!!! ??? ;;; ,,, ... ### $$$ %%%"),
+      // empty file
+      ("r3", "f.txt", ""))
+    val got = graft.ops.CodeQuality
+      .stats(docs.toDF("repo", "path", "content"), "content", "repo", "path")
+      .orderBy("repo", "path").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9)))
+    val byPath = got.map(t => t._1 -> t).toMap
+    // a.sc: keeps — 3 lines, max 16, avg (16+16+4)/3=12.0
+    assert(byPath("a.sc") == (("a.sc", 3L, 16L, 12.0,
+      byPath("a.sc")._5, byPath("a.sc")._6, false, false, true)))
+    assert(byPath("b.js")._3 == 1200L && byPath("b.js")._8 && !byPath("b.js")._9)
+    assert(byPath("c.py")._7 && !byPath("c.py")._9)       // autogen
+    assert(byPath("d.txt")._8 && !byPath("d.txt")._9)     // long run
+    assert(byPath("e.dat")._5 < 0.25 && !byPath("e.dat")._9) // low alnum
+    assert(byPath("f.txt") == (("f.txt", 1L, 0L, 0.0, 0.0, 0.0,
+      false, false, false))) // empty: alnum_frac 0.0 fails the 0.25 floor
+  }
+
   test("keepRepresentatives: one survivor per component, singletons kept (round-5)") {
     import spark.implicits._
     val ids = (1L to 8L).toDF("id")
