@@ -130,6 +130,49 @@ object OracleSql {
       .replaceAll("\\s+", " ")
   }
 
+  /** Selection.dsirLogWeights ground truth over `documents` with
+    * target = rows where doc_id < tgtMaxId: hashed unigram+bigram features
+    * (FNV-1a + avalanche mod `buckets` — the same fold as the simhash
+    * word-hash, seeded differently), Laplace-smoothed target/raw bucket
+    * distributions, per-doc summed log ratio rounded to 4 decimals. */
+  def slDsir(tgtMaxId: Long, buckets: Int = 64, seed: Long = 21L,
+             alpha: Double = 0.5): String = {
+    val fnv0 = x64(s"$seed::HUGEINT", FnvOffset)
+    val fold =
+      s"""list_reduce(list_prepend($fnv0,
+         |   [unicode(g[i])::HUGEINT FOR i IN range(1, length(g)+1)]),
+         |   (h, c) -> ${m64(x64("h", "c"), FnvPrime)})""".stripMargin
+    val aB = alpha * buckets
+    (s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS w FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(w) AS g FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+        |  FROM t WHERE len(w) >= 2),
+        |vocab AS (SELECT DISTINCT g FROM gr),
+        |vh0 AS (SELECT g, $fold AS f0 FROM vocab),
+        |vh1 AS (SELECT g, ${x64("f0", shr33("f0"))} AS f1 FROM vh0),
+        |vh2 AS (SELECT g, ${m64("f1", Av1)} AS f2 FROM vh1),
+        |vh AS (SELECT g, ((${x64("f2", shr33("f2"))}) % $buckets::HUGEINT)::BIGINT AS bucket FROM vh2),
+        |gb AS (SELECT gr.doc_id, vh.bucket FROM gr JOIN vh USING (g)),
+        |rawc AS (SELECT bucket, count(*)::DOUBLE AS c FROM gb GROUP BY 1),
+        |tgtc AS (SELECT bucket, count(*)::DOUBLE AS c FROM gb WHERE doc_id < $tgtMaxId GROUP BY 1),
+        |tots AS (SELECT (SELECT count(*) FROM gb)::DOUBLE AS tr,
+        |                (SELECT count(*) FROM gb WHERE doc_id < $tgtMaxId)::DOUBLE AS tt),
+        |dist AS (SELECT b.b AS bucket,
+        |  ln(((coalesce(tc.c, 0) + $alpha) / (tots.tt + $aB)) /
+        |     ((coalesce(rc.c, 0) + $alpha) / (tots.tr + $aB))) AS lr
+        |  FROM range($buckets) b(b) CROSS JOIN tots
+        |  LEFT JOIN rawc rc ON rc.bucket = b.b
+        |  LEFT JOIN tgtc tc ON tc.bucket = b.b),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n, sum(lr) AS s
+        |       FROM gb JOIN dist USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id AS id, coalesce(pd.n, 0)::BIGINT AS n_grams,
+        |  round(coalesce(pd.s, 0.0), 4) AS logw
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin)
+      .replaceAll("\\s+", " ")
+  }
+
   /** Multimodal.mm_features ground truth: payload = utf8(text) (ASCII
     * corpus), kind from id mod 3, 16-bin high-nibble byte histogram counts
     * recovered exactly from the float features (count = round(f * len)). */

@@ -669,6 +669,18 @@ object SparkEntry {
         .limit(10)
         .select($"id", round($"sim", 4).as("sim"))
     }),
+    // int8 scalar-quantized ADC scan (round-5): per-dim min/max
+    // calibration, 8-bit codes, float query vs dequantized docs — the
+    // 4x-less-bandwidth scan shape for 100 TB embedding tables
+    "ann_sq8_topk" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.sq8TopK(embTable(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), 60)
+        .withColumn("r6", round($"sim", 6))
+        .orderBy($"r6".desc, $"id".asc)
+        .limit(10)
+        .select($"id", round($"sim", 4).as("sim"))
+    }),
     // SRP-bucketed ANN over the PERSISTED index (sig precomputed, table
     // sorted by it, probe = pushed sig IN over the radius ball); the oracle
     // replicates the signature + radius probe set in SQL and ranks the same
@@ -797,6 +809,19 @@ object SparkEntry {
       graft.ops.Quota.capPerGroup(docsTable(s, dir), "source", "doc_id",
           "n_chars", 10)
         .orderBy(col("grp"), col("rank"))),
+    // DSIR-style hashed n-gram importance weights (round-5): target =
+    // docs 0..49, raw = whole corpus; hashed unigram+bigram buckets,
+    // Laplace-smoothed log density ratio per doc
+    "sl_dsir" -> ((s, dir) =>
+      graft.ops.Selection.dsirLogWeights(docsTable(s, dir),
+        docsTable(s, dir).filter(col("doc_id") < 50), "doc_id", "text")),
+    // CCNet-style per-language perplexity bands (round-5): unigram-logprob
+    // score, per-lang equal-depth terciles, head/middle/tail labels
+    "sl_ppl_bucket" -> ((s, dir) =>
+      graft.ops.Selection.pplBuckets(docsTable(s, dir), "doc_id", "text",
+          "lang")
+        .select(col("id"), col("lang"), col("logprob"),
+          col("bucket").cast("long").as("bucket"), col("band"))),
     // unigram log-probability scoring (relational LM-quality stand-in)
     "ql_unigram" -> ((s, dir) =>
       TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
@@ -1539,6 +1564,22 @@ object SparkEntry {
         |SELECT id, round(rawsim, 4) AS sim
         |FROM (SELECT id, sim AS rawsim, round(sim, 6) AS r6 FROM r) rr
         |ORDER BY r6 DESC, id ASC LIMIT 10""".stripMargin.replace("\n", " "),
+    // SQ8 ADC scan: identical pinned quantize/dequantize formula, float
+    // query (vec_id 0) vs dequantized docs, (round-6, id) rank
+    "ann_sq8_topk" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |mm AS (SELECT i, min(v) AS mn, max(v) AS mx FROM u GROUP BY i),
+        |d AS (SELECT u.vec_id, u.i, CASE WHEN mm.mx = mm.mn THEN mm.mn
+        |    ELSE mm.mn + floor((u.v - mm.mn)/(mm.mx - mm.mn)*255.0 + 0.5)/255.0*(mm.mx - mm.mn)
+        |  END AS dv FROM u JOIN mm USING (i)),
+        |q AS (SELECT i, v AS qv FROM u WHERE vec_id = 0),
+        |s AS (SELECT d.vec_id AS id, sum(d.dv * q.qv) AS dot, sum(d.dv * d.dv) AS n2
+        |  FROM d JOIN q USING (i) GROUP BY 1),
+        |r AS (SELECT id, dot / sqrt(n2 * (SELECT sum(qv*qv) FROM q)) AS sim FROM s)
+        |SELECT id, round(rawsim, 4) AS sim
+        |FROM (SELECT id, sim AS rawsim, round(sim, 6) AS r6 FROM r) rr
+        |ORDER BY r6 DESC, id ASC LIMIT 10""".stripMargin.replace("\n", " "),
     // redaction: identical augmentation + the same RE2-safe patterns, 'g'
     "ql_redact" ->
       """WITH a AS (SELECT doc_id,
@@ -1642,6 +1683,25 @@ object SparkEntry {
         |SELECT doc_id AS id, lang FROM v WHERE bucket <
         |  CASE WHEN lang = 'en' THEN 600 WHEN lang = 'de' THEN 200 ELSE 50 END"""
         .stripMargin.replace("\n", " "),
+    // DSIR hashed n-gram importance weights: the simhash FNV fold on
+    // unigram+bigram features, mod-64 buckets, smoothed log density ratio
+    "sl_dsir" -> OracleSql.slDsir(tgtMaxId = 50L),
+    // CCNet perplexity bands: ql_unigram score + per-lang ntile(3)
+    "sl_ppl_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+        |  FROM documents),
+        |cf AS (SELECT w, count(*)::DOUBLE AS cf FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cf) AS total FROM cf),
+        |pd AS (SELECT doc_id, avg(ln(cf / (SELECT total FROM tot))) AS lp
+        |  FROM tok JOIN cf USING (w) GROUP BY doc_id),
+        |sc AS (SELECT d.doc_id AS id, d.lang, round(coalesce(pd.lp, 0.0), 4) AS logprob
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |SELECT id, lang, logprob, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS band
+        |FROM (SELECT id, lang, logprob,
+        |        (ntile(3) OVER (PARTITION BY lang ORDER BY logprob DESC, id ASC))::BIGINT AS bucket
+        |      FROM sc) t""".stripMargin.replace("\n", " "),
     // TF-IDF long form: smoothed idf ln((N+1)/(df+1)) + 1, per-doc L2 norm
     "ql_tfidf" ->
       """WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS term

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Data-selection operators for LLM training pipelines: DSIR-style hashed
+  * n-gram importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling") and CCNet-style perplexity
+  * bucketing (Wenzek et al. 2020, "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data" §4.3 head/middle/tail bands).
+  *
+  * Scale shape: DSIR's two feature distributions are B-row aggregates
+  * (B = hashed-feature buckets, default 64) with map-side partial
+  * aggregation — the only driver materialization is those 2×B rows, turned
+  * into a broadcast literal lookup array; the per-doc weight is then ONE
+  * shuffle of (doc, bucket) gram rows keyed by doc id. Nothing
+  * corpus-sized ever reaches the driver, and the raw corpus itself never
+  * shuffles — only its hashed gram stream does, exactly once.
+  */
+object Selection {
+
+  /** DSIR features: word unigrams + bigrams over the same lowercased \w+
+    * surface the dedup ops use (the paper's hashed n-gram featurization). */
+  def grams(text: String): Array[String] = {
+    val w = Dedup.words(text)
+    if (w.length <= 1) w
+    else {
+      val out = new Array[String](w.length + w.length - 1)
+      System.arraycopy(w, 0, out, 0, w.length)
+      var i = 0
+      while (i < w.length - 1) {
+        out(w.length + i) = w(i) + " " + w(i + 1)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** hashed-feature bucket: unsigned 64-bit FNV-1a+avalanche mod B —
+    * matches the DuckDB oracle's HUGEINT `h % B` for any B. */
+  def bucket(gram: String, buckets: Int, seed: Long): Int =
+    java.lang.Long.remainderUnsigned(Dedup.hashString(seed, gram), buckets.toLong).toInt
+
+  /** (doc, bucket) gram stream for a corpus — one narrow pass. */
+  private def bucketRows(df: DataFrame, idCol: String, textCol: String,
+                         buckets: Int, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        grams(if (t == null) "" else t).map(g => (id, bucket(g, buckets, seed)))
+      }
+      .toDF("id", "bucket")
+  }
+
+  /** per-bucket gram counts as a dense driver array (bounded: B entries;
+    * the aggregation is map-side partial so only B rows per task shuffle) */
+  private def bucketCounts(rows: DataFrame, buckets: Int): Array[Long] = {
+    val out = new Array[Long](buckets)
+    rows.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** DSIR log importance weights: for every raw-corpus doc, the summed
+    * log-ratio of target-vs-raw hashed n-gram (unigram+bigram) bucket
+    * probabilities — docs whose feature profile looks like `target` score
+    * high, generic/divergent docs score low. Resampling keeps the top
+    * fraction (or samples proportional to exp(logw), the paper's form).
+    *
+    * Both distributions are Laplace-smoothed: p[b] = (c[b]+alpha) /
+    * (total+alpha*B). Output: (id, n_grams, logw) with logw rounded to 4
+    * decimals and empty docs pinned to 0.0 (the ql_unigram convention).
+    */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 64, seed: Long = 21L,
+                     alpha: Double = 0.5): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val rawRows = bucketRows(raw, idCol, textCol, buckets, seed)
+    val tgtRows = bucketRows(target, idCol, textCol, buckets, seed)
+    val cr = bucketCounts(rawRows, buckets)
+    val ct = bucketCounts(tgtRows, buckets)
+    val tr = cr.sum.toDouble
+    val tt = ct.sum.toDouble
+    val denomR = tr + alpha * buckets
+    val denomT = tt + alpha * buckets
+    val logRatio: Array[Double] = Array.tabulate(buckets) { b =>
+      math.log(((ct(b) + alpha) / denomT) / ((cr(b) + alpha) / denomR))
+    }
+    val lrCol = element_at(typedlit(logRatio.toSeq), col("bucket") + 1)
+    val perDoc = rawRows
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(lrCol).as("s"))
+    raw.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        round(coalesce(col("s"), lit(0.0)), 4).as("logw"))
+  }
+
+  /** CCNet-style per-language perplexity bands: score every doc with the
+    * corpus-unigram log-prob stand-in (TextQuality.unigramLogProb), then
+    * split each language into `nBuckets` equal-depth bands by score —
+    * band 1 = "head" (most fluent), last = "tail". Order is pinned
+    * (rounded logprob DESC, id ASC) so the split is deterministic and
+    * oracle-replicable (SQL ntile).
+    *
+    * Scale note: ntile needs a per-language sort — ONE shuffle partitioned
+    * by lang, sort local to the partition. A single dominant language makes
+    * that partition large; at the 100 TB design point swap the exact ntile
+    * for percentile thresholds from approxQuantile (bounded driver state,
+    * no global sort) at the cost of exact equal-depth splits. The exact
+    * form is pinned here because band boundaries must reproduce bit-for-bit
+    * against the oracle.
+    */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+                 langCol: String, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val scored = TextQuality.unigramLogProb(df, idCol, textCol)
+    val withLang = df.select(col(idCol).cast("long").as("id"),
+        col(langCol).as("lang"))
+      .join(scored, Seq("id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("logprob").desc, col("id").asc)
+    val banded = withLang.withColumn("bucket", ntile(nBuckets).over(w))
+    banded.select(col("id"), col("lang"), col("logprob"), col("bucket"),
+      when(col("bucket") === 1, lit("head"))
+        .when(col("bucket") === nBuckets, lit("tail"))
+        .otherwise(lit("middle")).as("band"))
+  }
+}

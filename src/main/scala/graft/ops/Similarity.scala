@@ -35,6 +35,45 @@ object Similarity {
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
 
+  /** Int8 scalar-quantized cosine top-k (the classic SQ8 shape: FAISS
+    * ScalarQuantizer / Lucene int8 HNSW storage, asymmetric distance):
+    * per-dimension corpus min/max calibration, each component quantized to
+    * an 8-bit code, similarity computed between the FLOAT query and the
+    * DEQUANTIZED docs. At the design scale the quantized table is what
+    * ships — 4x less scan bandwidth than float32 at near-identical
+    * ranking — and this op IS the scan shape: the calibration arrays are
+    * dim-sized driver state folded in as literals, quantize+dequantize+dot
+    * run as codegen'd array built-ins inside the one corpus scan, top-k
+    * via TakeOrderedAndProject. Quantization is pinned to
+    * q = floor((v-mn)/(mx-mn)*255 + 0.5), dq = mn + q/255*(mx-mn)
+    * (constant dims collapse to mn) so the oracle reproduces it exactly. */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int): DataFrame = {
+    val mmRows = df
+      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .collect() // bounded: one row per embedding dimension
+    val dim = mmRows.map(_.getInt(0)).max + 1
+    val mn = new Array[Double](dim); val mx = new Array[Double](dim)
+    mmRows.foreach { r => mn(r.getInt(0)) = r.getDouble(1); mx(r.getInt(0)) = r.getDouble(2) }
+    val mnL = typedlit(mn.toSeq); val mxL = typedlit(mx.toSeq)
+    val dq = transform(col(vecCol), (x, i) => {
+      val lo = element_at(mnL, i + 1)
+      val hi = element_at(mxL, i + 1)
+      val scale = hi - lo
+      when(scale === 0.0, lo).otherwise(
+        lo + floor((x.cast("double") - lo) / scale * 255.0 + lit(0.5)) / 255.0 * scale)
+    })
+    val qLit = typedlit(query.map(_.toDouble).toSeq)
+    val qn = lit(query.map(x => x.toDouble * x.toDouble).sum)
+    val dot = aggregate(zip_with(dq, qLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val n2 = aggregate(transform(dq, a => a * a), lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol).cast("long").as("id"), (dot / sqrt(n2 * qn)).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Exact cosine near-dup pairs above a threshold (embedding dedup),
     * block-grid all-pairs: EXACT output with no cartesian/BNLJ node.
     *

@@ -690,4 +690,109 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(all == (1L to 8L).toSet)
   }
+
+  test("sq8TopK: pinned quantization model identity + near-exact ranking (round-5)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (0L until 40L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs.head._2
+    val got = graft.ops.Similarity.sq8TopK(df, "vec_id", "embedding", q, 40)
+      .as[(Long, Double)].collect()
+
+    // brute-force model of the pinned quantize/dequantize/ADC formula
+    val mn = (0 until dim).map(d => vecs.map(_._2(d).toDouble).min).toArray
+    val mx = (0 until dim).map(d => vecs.map(_._2(d).toDouble).max).toArray
+    def dq(v: Array[Float]): Array[Double] = (0 until dim).map { d =>
+      val s = mx(d) - mn(d)
+      if (s == 0.0) mn(d)
+      else mn(d) + math.floor((v(d).toDouble - mn(d)) / s * 255.0 + 0.5) / 255.0 * s
+    }.toArray
+    val qd = q.map(_.toDouble)
+    val qn = qd.map(x => x * x).sum
+    val expected = vecs.map { case (id, v) =>
+      val dv = dq(v)
+      val dot = dv.zip(qd).map { case (a, b) => a * b }.sum
+      val n2 = dv.map(x => x * x).sum
+      (id, dot / math.sqrt(n2 * qn))
+    }.sortBy(t => (-t._2, t._1))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case ((gi, gs), (ei, es)) =>
+      assert(gi == ei, s"rank order diverged: got $gi want $ei")
+      assert(math.abs(gs - es) < 1e-9)
+    }
+    // 8-bit codes barely move the ranking: top-5 overlap with exact >= 4
+    val exact = graft.ops.Similarity.cosineTopK(df, "vec_id", "embedding", q, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert((exact & got.take(5).map(_._1).toSet).size >= 4)
+  }
+
+  test("dsirLogWeights: brute-force identity + target-affinity ordering (round-5)") {
+    import spark.implicits._
+    import graft.ops.Selection
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "import spark sql functions import spark sql",
+      2L -> "the quick brown fox",                       // target-like
+      3L -> "",                                          // empty -> 0.0
+      4L -> "zz qq xx totally alien tokens never seen")  // raw-only mass
+    val raw = texts.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") < 2)
+    val B = 64; val seed = 21L; val alpha = 0.5
+    val got = Selection.dsirLogWeights(raw, target, "doc_id", "text", B, seed, alpha)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+
+    // brute-force model
+    val rawG = texts.flatMap { case (id, t) =>
+      Selection.grams(t).map(g => (id, Selection.bucket(g, B, seed))) }
+    val tgtG = rawG.filter(_._1 < 2)
+    val cr = new Array[Long](B); rawG.foreach(p => cr(p._2) += 1)
+    val ct = new Array[Long](B); tgtG.foreach(p => ct(p._2) += 1)
+    val tr = cr.sum.toDouble; val tt = ct.sum.toDouble
+    def lr(b: Int): Double =
+      math.log(((ct(b) + alpha) / (tt + alpha * B)) / ((cr(b) + alpha) / (tr + alpha * B)))
+    def r4(x: Double) = math.round(x * 1e4) / 1e4.toDouble
+    val expected = texts.map { case (id, t) =>
+      val bs = Selection.grams(t).map(Selection.bucket(_, B, seed))
+      (id, bs.length.toLong, r4(bs.map(lr).sum))
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got(3) == ((3L, 0L, 0.0)))
+    // the doc made of target grams outscores the alien-token doc
+    assert(got(2)._3 > got(4)._3)
+  }
+
+  test("pplBuckets: per-lang equal-depth ntile bands, pinned order (round-5)") {
+    import spark.implicits._
+    import graft.ops.Selection
+    // en: 7 docs spanning common -> rare vocabulary; de: 2 docs
+    val docs = Seq(
+      (0L, "aa aa aa aa", "en"), (1L, "aa aa aa bb", "en"),
+      (2L, "aa aa bb bb", "en"), (3L, "aa bb cc", "en"),
+      (4L, "cc dd ee", "en"), (5L, "ff gg hh", "en"), (6L, "", "en"),
+      (10L, "aa aa", "de"), (11L, "rare1 rare2", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Selection.pplBuckets(docs, "doc_id", "text", "lang", 3)
+      .as[(Long, String, Double, Int, String)].collect()
+
+    // model: score with the (independently tested) unigram op, then ntile
+    val scores = graft.ops.TextQuality.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    val langOf = Map[Long, String]((0L to 6L).map(_ -> "en") ++ Seq(10L -> "de", 11L -> "de"): _*)
+    val expected = langOf.keys.toSeq.groupBy(langOf)
+      .flatMap { case (lang, ids) =>
+        val sorted = ids.sortBy(id => (-scores(id), id))
+        val n = sorted.length; val k = 3
+        val sizes = (0 until k).map(i => n / k + (if (i < n % k) 1 else 0))
+        val bands = sizes.zipWithIndex.flatMap { case (sz, i) => Seq.fill(sz)(i + 1) }
+        sorted.zip(bands).map { case (id, b) =>
+          val band = if (b == 1) "head" else if (b == 3) "tail" else "middle"
+          (id, lang, scores(id), b, band)
+        }
+      }.toSet
+    assert(got.toSet == expected)
+    // de has only 2 docs: ntile(3) assigns buckets 1 and 2 -> no 'tail'
+    assert(got.filter(_._2 == "de").map(_._5).toSet == Set("head", "middle"))
+  }
 }
