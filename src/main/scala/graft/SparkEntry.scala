@@ -719,6 +719,25 @@ object SparkEntry {
         .select($"id", round($"rrf", 6).as("score"), $"n_lists")
         .orderBy($"score".desc, $"id".asc)
     }),
+    // hard-negative mining (round-5): BM25 top-30 candidates for "spark",
+    // drop the ones semantically close to the query embedding (sim >= 0.30)
+    // — the (query, negative) training-pair shape
+    "hn_mine" -> ((s, dir) => {
+      import s.implicits._
+      val handle = Searcher.open(s, indexFor(s, dir))
+      val kAll = handle.stats.numDocs.toInt + 1
+      val idMap = s.read.parquet(IndexBuilder.docstatsDir(indexFor(s, dir)))
+        .select(col("docId"), substring(col("path"), 3, 7).cast("long").as("id"))
+      val lex = Searcher.search(s, handle, "spark", kAll)
+        .join(idMap, Seq("docId"))
+        .withColumn("r6", round($"score", 6))
+        .orderBy($"r6".desc, $"id".asc).limit(30)
+        .select($"id", $"r6".as("score"))
+      Fusion.hardNegatives(lex, embTable(s, dir), "vec_id", "embedding",
+          queryVec(s, dir), simCutoff = 0.30)
+        .select($"id", $"bm25_rank".cast("long").as("bm25_rank"),
+          $"bm25_score", round($"sim", 4).as("sim"))
+    }),
     // SemDeDup-style representative pruning (round-5): one survivor (min
     // id) per connected cosine>=0.45 near-dup group over the embeddings,
     // singletons untouched
@@ -825,6 +844,18 @@ object SparkEntry {
     // unigram log-probability scoring (relational LM-quality stand-in)
     "ql_unigram" -> ((s, dir) =>
       TextQuality.unigramLogProb(docsTable(s, dir), "doc_id", "text")),
+    // interpolated bigram LM scoring (round-5): lambda*P(w|prev) +
+    // (1-lambda)*P(w) under the corpus's own MLE counts, mean ln p per doc
+    "ql_bigram" -> ((s, dir) =>
+      TextQuality.bigramLogProb(docsTable(s, dir), "doc_id", "text")),
+    // token-budget mixture sampling (round-5): per-source token budgets ->
+    // pinned integer per-mille keep rates over content-addressed buckets
+    // (src0 partial, src1 capped at 1000, src2 tiny; others dropped)
+    "mx_sample" -> ((s, dir) =>
+      graft.ops.Sampling.tokenBudgetSample(docsTable(s, dir), "doc_id",
+          "text", "source",
+          Map("src0" -> 700L, "src1" -> 2000L, "src2" -> 100L))
+        .orderBy(col("id"))),
     // sparse TF-IDF featurizer, long form (round-5): smoothed idf + the
     // L2-normalized weights cosine similarity consumes
     "ql_tfidf" -> ((s, dir) =>
@@ -1527,6 +1558,25 @@ object SparkEntry {
         |  FROM (SELECT * FROM txtr UNION ALL SELECT * FROM vecr) b GROUP BY id)
         |SELECT id, round(rrf, 6) AS score, n_lists FROM fused
         |ORDER BY score DESC, id ASC""".stripMargin.replace("\n", " ")),
+    // hard-negative mining: the hy_rrf BM25 lexical CTE (r6-ranked top 30)
+    // anti-filtered by exact query cosine at the 0.30 cutoff
+    "hn_mine" ->
+      (cte + """, txt AS (
+        |  SELECT CAST(substr(i.path, 3, 7) AS BIGINT) AS id, round(c.s, 6) AS r6
+        |  FROM contrib c JOIN ids i USING (docid) WHERE c.term = 'spark'),
+        |lex AS (SELECT id, r6, row_number() OVER (ORDER BY r6 DESC, id ASC) AS rank FROM txt),
+        |lex30 AS (SELECT * FROM lex WHERE rank <= 30),
+        |q AS (SELECT unnest(embedding)::DOUBLE AS qv,
+        |  unnest(range(len(embedding))) AS i FROM embeddings WHERE vec_id = 0),
+        |u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+        |  unnest(range(len(embedding))) AS i FROM embeddings),
+        |sv AS (SELECT u.vec_id AS id, sum(u.v*q.qv) AS dot, sum(u.v*u.v) AS n2
+        |  FROM u JOIN q USING (i) GROUP BY u.vec_id),
+        |vr AS (SELECT id, dot / sqrt(n2 * (SELECT sum(qv*qv) FROM q)) AS sim FROM sv)
+        |SELECT l.id, l.rank::BIGINT AS bm25_rank, l.r6 AS bm25_score,
+        |  round(v.sim, 4) AS sim
+        |FROM lex30 l JOIN vr v USING (id) WHERE v.sim < 0.30"""
+        .stripMargin.replace("\n", " ")),
     // SemDeDup prune: exhaustive cosine>=0.45 pair graph + recursive
     // reachability (component = min reachable id); survivors = every id
     // whose component IS itself (or untouched singleton)
@@ -1782,6 +1832,53 @@ object SparkEntry {
         |  round(coalesce(pd.lp, 0.0), 4) AS logprob
         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
         .stripMargin.replace("\n", " "),
+    // interpolated bigram LM score: lag pairing via parallel unnest of the
+    // token list and its shifted copy; (1.0 - 0.7) spelled as the same
+    // double subtraction the Scala side performs
+    "ql_bigram" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws FROM documents),
+        |tok AS (SELECT doc_id, unnest(ws) AS w,
+        |  unnest([CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END
+        |          FOR i IN range(1, len(ws)+1)]) AS prev FROM t),
+        |cf AS (SELECT w, count(*)::DOUBLE AS cf FROM tok GROUP BY w),
+        |tot AS (SELECT sum(cf) AS total FROM cf),
+        |c2 AS (SELECT prev, w, count(*)::DOUBLE AS c2 FROM tok
+        |  WHERE prev IS NOT NULL GROUP BY prev, w),
+        |cx AS (SELECT prev, count(*)::DOUBLE AS ctx FROM tok
+        |  WHERE prev IS NOT NULL GROUP BY prev),
+        |p AS (SELECT tok.doc_id,
+        |    CASE WHEN tok.prev IS NULL THEN cf.cf / (SELECT total FROM tot)
+        |      ELSE 0.7 * (c2.c2 / cx.ctx)
+        |         + (1.0 - 0.7) * (cf.cf / (SELECT total FROM tot)) END AS p
+        |  FROM tok JOIN cf USING (w)
+        |  LEFT JOIN c2 ON c2.prev = tok.prev AND c2.w = tok.w
+        |  LEFT JOIN cx ON cx.prev = tok.prev),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n, avg(ln(p)) AS lp
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id AS id, coalesce(pd.n, 0)::BIGINT AS n_tokens,
+        |  round(coalesce(pd.lp, 0.0), 4) AS logprob
+        |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id"""
+        .stripMargin.replace("\n", " "),
+    // token-budget mixture sampling: pinned integer per-mille rates
+    // (1000*budget // group tokens, capped at 1000) over the sp_sample
+    // hex fold with salt 'mix'
+    "mx_sample" ->
+      """WITH tk AS (SELECT doc_id, source, text,
+        |    len(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM tk
+        |  WHERE source IN ('src0','src1','src2') GROUP BY source),
+        |rt AS (SELECT source, least(1000, (1000 * CASE source
+        |    WHEN 'src0' THEN 700 WHEN 'src1' THEN 2000
+        |    WHEN 'src2' THEN 100 END) // tot)::BIGINT AS rate FROM tot),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |    list_reduce([instr('0123456789abcdef', substr(h, i, 1)) - 1 FOR i IN range(1, 9)],
+        |      (a, x) -> a * 16 + x) % 1000 AS bucket
+        |  FROM (SELECT doc_id, source, n_tokens,
+        |          substr(sha256(text || 'mix'), 1, 8) AS h FROM tk))
+        |SELECT b.doc_id AS id, b.source AS grp, b.n_tokens, rt.rate
+        |FROM b JOIN rt ON rt.source = b.source
+        |WHERE b.bucket < rt.rate ORDER BY id""".stripMargin.replace("\n", " "),
     "ql_tokens" ->
       """SELECT doc_id AS id,
         | len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,

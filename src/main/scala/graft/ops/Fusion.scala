@@ -43,6 +43,53 @@ object Fusion {
       .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_lists"))
   }
 
+  /** Hard-negative mining for retrieval-model training (the DPR recipe,
+    * Karpukhin et al. 2020 §3.2, refined by ANCE: the strongest training
+    * negatives are docs the lexical retriever ranks high that are NOT
+    * semantically relevant). Input `lexical` is a bounded ranked list
+    * (id, score) — normally the engine's BM25 top-k; every candidate gets
+    * its embedding cosine to the query vector, and ids with
+    * sim >= simCutoff (likely positives) are dropped. Output
+    * (id, bm25_rank, bm25_score, sim) ordered by bm25_rank — the
+    * (query, negative) pair shape contrastive training consumes.
+    *
+    * Scale shape: the corpus-sized work is the upstream top-k search; here
+    * the candidate list is k rows, broadcast into the embedding join, so
+    * the cosine touches only k vectors — never a corpus scan. The
+    * rank window runs over the same k rows. Candidates without an
+    * embedding row are dropped (inner join — pinned). */
+  def hardNegatives(lexical: DataFrame, emb: DataFrame, idCol: String,
+                    vecCol: String, queryVec: Array[Float],
+                    simCutoff: Double): DataFrame = {
+    val lex = lexical.select(col("id").cast("long").as("id"),
+        col("score").cast("double").as("bm25_score"))
+      .withColumn("bm25_rank",
+        row_number().over(Window.orderBy(col("bm25_score").desc, col("id").asc)))
+    val sims = emb
+      .join(broadcast(lex.select(col("id"))), emb(idCol).cast("long") === col("id"))
+      .select(col("id"), Similarity.cosineCol(col(vecCol), queryVec).as("sim"))
+    lex.join(sims, Seq("id"))
+      .filter(col("sim") < simCutoff)
+      .select(col("id"), col("bm25_rank"), col("bm25_score"), col("sim"))
+      .orderBy(col("bm25_rank"))
+  }
+
+  /** Convenience wrapper: run the engine search for `query` (top `kLex`),
+    * map docIds to embedding ids via `idMap` (null = identity), then mine
+    * hard negatives against `queryVec`. */
+  def mineHardNegatives(spark: SparkSession, handle: Searcher.IndexHandle,
+                        query: String, idMap: DataFrame,
+                        emb: DataFrame, idCol: String, vecCol: String,
+                        queryVec: Array[Float], kLex: Int = 100,
+                        simCutoff: Double = 0.30,
+                        weighting: Weighting = BM25Weighting): DataFrame = {
+    val hits0 = Searcher.search(spark, handle, query, kLex, weighting = weighting)
+    val lexical =
+      (if (idMap == null) hits0.select(col("docId").as("id"), col("score"))
+       else hits0.join(idMap, Seq("docId")).select(col("id"), col("score")))
+    hardNegatives(lexical, emb, idCol, vecCol, queryVec, simCutoff)
+  }
+
   /** Hybrid top-k: the engine's BM25 hits for `query` fused with exact
     * cosine top-k around `queryVec`, RRF-combined on a shared id space.
     *

@@ -62,4 +62,46 @@ object Sampling {
     }
     df.filter(bucketCol(textCol, salt, 1000) < rate)
   }
+
+  /** Token-budget mixture sampling (round-5; the Pile / RefinedWeb recipe:
+    * a training mix is specified as a TOKEN budget per source, and each
+    * source is downsampled to hit it). Two passes:
+    *   1. per-budgeted-group token totals — ONE aggregation filtered to the
+    *      budget keys (map-side partial; the collect is <= |budgets| rows,
+    *      config-sized: pile components, not hosts);
+    *   2. per-group keep rate (per mille, pinned INTEGER arithmetic
+    *      `min(1000, 1000*budget / tokens)` so the oracle replicates it
+    *      bit-for-bit) folded into the plan as a literal CASE chain over
+    *      the same content-addressed buckets as `contentSample` — the
+    *      data pass is a narrow codegen'd filter, no join, no shuffle.
+    * Groups without a budget are dropped (rate 0). Duplicates still land
+    * together (content addressing), so a downsampled mix cannot leak a
+    * dropped copy back in. Output: the kept rows as (id, grp, n_tokens,
+    * rate) — rate carried so downstream loss-weighting can undo the
+    * sampling bias if it wants to. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, tokenBudget: Map[String, Long],
+                        salt: String = "mix"): DataFrame = {
+    require(tokenBudget.nonEmpty && tokenBudget.values.forall(_ >= 0))
+    val nTok = size(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+    val keys = tokenBudget.keys.toSeq.sorted
+    val totals = df
+      .filter(col(groupCol).isin(keys: _*))
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(nTok.cast("long")).as("tot"))
+      .collect() // bounded: one row per budgeted group (config-sized)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateOf: Map[String, Long] = keys.map { g =>
+      val t = totals.getOrElse(g, 0L)
+      g -> (if (t <= 0L) 0L else math.min(1000L, 1000L * tokenBudget(g) / t))
+    }.toMap
+    val rate = keys.foldLeft(lit(0L)) { (acc, g) =>
+      when(col(groupCol) === g, lit(rateOf(g))).otherwise(acc)
+    }
+    df.select(col(idCol).cast("long").as("id"), col(groupCol).as("grp"),
+        nTok.cast("long").as("n_tokens"),
+        rate.as("rate"), bucketCol(textCol, salt, 1000).as("bucket"))
+      .filter(col("bucket") < col("rate"))
+      .select(col("id"), col("grp"), col("n_tokens"), col("rate"))
+  }
 }

@@ -142,6 +142,58 @@ object TextQuality {
         round(coalesce(col("lp"), lit(0.0)), 4).as("logprob"))
   }
 
+  /** Interpolated bigram log-probability score (round-5; one LM order up
+    * from `unigramLogProb` — the closest relational stand-in for the KenLM
+    * 5-gram scoring CCNet (Wenzek et al. 2020) filters with): per token,
+    *   p = lambda * P(w_i | w_{i-1}) + (1-lambda) * P(w_i)
+    * under the corpus's OWN MLE distributions (first token of a doc has no
+    * context and scores P(w_1) alone); the doc score is the mean ln p.
+    * Both component probabilities are never zero for an observed token
+    * (every token row contributes to the counts it is scored against), so
+    * no discounting scheme is needed — interpolation alone smooths unseen
+    * CONTEXTS, which is the part that matters for ranking.
+    *
+    * Scale shape: the (prev, cur) pairing is a lag window partitioned by
+    * doc — ONE shuffle of token rows on doc id, each partition then
+    * processed streamingly in token order; bigram/context/unigram counts
+    * are three map-side-partial aggregations over the same stream; the
+    * final per-doc mean is one more token-row shuffle. Nothing
+    * corpus-sized reaches the driver and the raw text never shuffles —
+    * only its token stream does. Empty docs pin to 0.0. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        posexplode(expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)"))
+          .as(Seq("pos", "w")))
+      .withColumn("prev", lag(col("w"), 1).over(w))
+    val cf = toks.groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val totalDf = cf.agg(sum(col("cf")).cast("double").as("total"))
+    val big = toks.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val ctx = toks.filter(col("prev").isNotNull)
+      .groupBy(col("prev")).agg(count(lit(1)).as("ctx"))
+    val pUni = col("cf").cast("double") / col("total")
+    val pBig = col("c2").cast("double") / col("ctx").cast("double")
+    val perDoc = toks
+      .join(cf, Seq("w"))
+      .join(big, Seq("prev", "w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .crossJoin(broadcast(totalDf))
+      .select(col("id"),
+        when(col("prev").isNull, pUni)
+          .otherwise(lit(lambda) * pBig + lit(1.0 - lambda) * pUni).as("p"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(log(col("p"))).as("lp"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("lp"), lit(0.0)), 4).as("logprob"))
+  }
+
   /** PII-style redaction for corpus scrubbing: emails -> <EMAIL>, dotted
     * IPv4s -> <IP>, 10+-digit runs -> <NUM>, applied IN THAT ORDER (so an
     * address's digits are consumed by the email rule first). Patterns are

@@ -691,6 +691,37 @@ class OpsSpec extends AnyFunSuite {
     assert(all == (1L to 8L).toSet)
   }
 
+  test("hardNegatives: lexical top-k minus semantic neighbors (round-5)") {
+    import spark.implicits._
+    // lexical candidates with known ranks (scores already rounded)
+    val lex = Seq((1L, 9.0), (2L, 8.0), (3L, 8.0), (4L, 6.0))
+      .toDF("id", "score")
+    // query = [1, 0]; id 1 is a semantic positive (sim 1), ids 2/3 are
+    // lexically-confusable negatives, id 4 has NO embedding row (dropped),
+    // id 9 is an embedding not in the candidate list (ignored)
+    val emb = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(-1f, 0.1f)),
+      (3L, Array(0.1f, 1f)),
+      (9L, Array(1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val q = Array(1f, 0f)
+    val got = graft.ops.Fusion.hardNegatives(lex, emb, "vec_id", "embedding", q, 0.5)
+      .as[(Long, Int, Double, Double)].collect()
+    def cos(v: Array[Float]): Double = {
+      val d = v(0).toDouble * 1.0 + v(1).toDouble * 0.0
+      d / math.sqrt((v(0).toDouble * v(0) + v(1).toDouble * v(1)) * 1.0)
+    }
+    // ranks over the full list: 1->1, 2->2, 3->3 (tie broken by id), 4->4
+    assert(got.map(_._1).toSeq == Seq(2L, 3L))
+    assert(got(0) == ((2L, 2, 8.0, cos(Array(-1f, 0.1f)))))
+    assert(got(1) == ((3L, 3, 8.0, cos(Array(0.1f, 1f)))))
+    // raising the cutoff past sim(id 1) keeps the positive too
+    val all = graft.ops.Fusion.hardNegatives(lex, emb, "vec_id", "embedding", q, 1.5)
+      .as[(Long, Int, Double, Double)].collect()
+    assert(all.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("sq8TopK: pinned quantization model identity + near-exact ranking (round-5)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -794,5 +825,75 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSet == expected)
     // de has only 2 docs: ntile(3) assigns buckets 1 and 2 -> no 'tail'
     assert(got.filter(_._2 == "de").map(_._5).toSet == Set("head", "middle"))
+  }
+
+  test("bigramLogProb: brute-force interpolated-LM identity (round-5)") {
+    import spark.implicits._
+    val texts = Seq(
+      0L -> "a b a b",   // repeated bigram: high P(b|a)
+      1L -> "a a",       // self-bigram
+      2L -> "",          // empty -> (0, 0.0)
+      3L -> "c",         // single token: unigram-only
+      4L -> "b c a b")   // mixes seen and once-only contexts
+    val lambda = 0.7
+    val got = graft.ops.TextQuality.bigramLogProb(texts.toDF("doc_id", "text"),
+        "doc_id", "text", lambda)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+
+    // brute-force model over the same corpus counts
+    val toks = texts.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+    val cf = toks.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.size.toDouble }
+    val total = cf.values.sum
+    val pairs = toks.flatMap { case (_, ws) => ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+    val c2 = pairs.groupBy(identity).map { case (p, o) => p -> o.size.toDouble }
+    val ctx = pairs.groupBy(_._1).map { case (w, o) => w -> o.size.toDouble }
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = toks.map { case (id, ws) =>
+      if (ws.isEmpty) (id, 0L, 0.0)
+      else {
+        val ps = ws.zipWithIndex.map { case (w, i) =>
+          val pu = cf(w) / total
+          if (i == 0) pu else lambda * (c2((ws(i - 1), w)) / ctx(ws(i - 1))) + (1.0 - lambda) * pu
+        }
+        (id, ws.length.toLong, r4(ps.map(math.log).sum / ps.length))
+      }
+    }
+    assert(got.toSeq == expected)
+    // the doc whose bigrams repeat scores above the one with one-off contexts
+    assert(got(0)._3 > got(4)._3)
+  }
+
+  test("tokenBudgetSample: rates from token totals, membership == contentSample (round-5)") {
+    import spark.implicits._
+    // g1: 12 tokens / budget 6 -> rate 500; g2: 4 tokens / budget 999
+    // -> capped 1000 (all kept); g3: no budget -> dropped
+    val docs = (0 until 60).map { i =>
+      val g = if (i < 40) "g1" else if (i < 50) "g2" else "g3"
+      (i.toLong, g, s"tok$i word ${(i * 17) % 23} filler body")
+    }
+    val df = docs.toDF("doc_id", "grp0", "text")
+    val nTokOf = docs.map { case (id, _, t) => id -> t.split("\\s+").count(_.nonEmpty).toLong }.toMap
+    val tokensG1 = docs.filter(_._2 == "g1").map(d => nTokOf(d._1)).sum
+    val tokensG2 = docs.filter(_._2 == "g2").map(d => nTokOf(d._1)).sum
+    val budget = Map("g1" -> tokensG1 / 2, "g2" -> tokensG2 * 10)
+    val got = graft.ops.Sampling.tokenBudgetSample(df, "doc_id", "text", "grp0", budget)
+      .as[(Long, String, Long, Long)].collect()
+
+    val rateG1 = math.min(1000L, 1000L * (tokensG1 / 2) / tokensG1)
+    assert(got.filter(_._2 == "g1").forall(_._4 == rateG1))
+    // g2's budget exceeds its tokens: rate capped at 1000, every row kept
+    assert(got.filter(_._2 == "g2").map(_._1).toSet ==
+      docs.filter(_._2 == "g2").map(_._1).toSet)
+    assert(got.filter(_._2 == "g2").forall(_._4 == 1000L))
+    // unbudgeted group dropped entirely
+    assert(!got.exists(_._2 == "g3"))
+    // n_tokens column matches the \w+ count
+    got.foreach { case (id, _, n, _) => assert(n == nTokOf(id)) }
+    // membership per group == the content sampler at the computed rate
+    val wantG1 = graft.ops.Sampling.contentSample(
+        df.filter(col("grp0") === "g1"), "text", rateG1.toInt, salt = "mix")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2 == "g1").map(_._1).toSet == wantG1)
+    assert(got.count(_._2 == "g1") > 0 && got.count(_._2 == "g1") < 40)
   }
 }
