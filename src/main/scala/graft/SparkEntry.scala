@@ -646,6 +646,14 @@ object SparkEntry {
     "dd_dupspans" -> ((s, dir) =>
       Dedup.dupSpanStats(docsTable(s, dir), "doc_id", "text", window = 10)
         .orderBy(col("id"))),
+    // corpus-wide repeated-line removal (round-5): the testdata corpus has
+    // no newlines, so ' table ' is the pinned literal line separator —
+    // segments recurring >= 2 times corpus-wide are stripped, survivors
+    // rejoined in order
+    "dd_striplines" -> ((s, dir) =>
+      Dedup.stripRepeatedLines(docsTable(s, dir), "doc_id", "text",
+          minDf = 2, sep = " table ")
+        .orderBy(col("id"))),
     // near-dup clusters: connected components over the LSH pair relation,
     // every non-singleton doc mapped to its component's canonical (min) id
     "dd_components" -> ((s, dir) =>
@@ -1508,6 +1516,21 @@ object SparkEntry {
         |    ELSE 0.0 END AS dup_frac
         |FROM t LEFT JOIN ns USING (doc_id) LEFT JOIN nd USING (doc_id)
         |  LEFT JOIN cov USING (doc_id)""".stripMargin.replace("\n", " "),
+    // repeated-line removal: literal split on ' table ', df >= 2 segments
+    // dropped, survivors rejoined in position order with the same separator
+    "dd_striplines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' table ') AS ls FROM documents),
+        |l AS (SELECT doc_id, unnest(ls) AS ln,
+        |  unnest(range(1, len(ls)+1)) AS pos FROM t),
+        |c AS (SELECT ln, count(*) AS c FROM l GROUP BY ln),
+        |f AS (SELECT l.doc_id, l.pos, l.ln, (c.c >= 2) AS drp
+        |  FROM l JOIN c USING (ln))
+        |SELECT doc_id AS id,
+        |  coalesce(string_agg(ln, ' table ' ORDER BY pos)
+        |    FILTER (WHERE NOT drp), '') AS cleaned,
+        |  count(*)::BIGINT AS n_lines,
+        |  sum(CASE WHEN drp THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        |FROM f GROUP BY doc_id ORDER BY id""".stripMargin.replace("\n", " "),
     "dd_embed_pairs" ->
       """WITH u AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
         |  unnest(range(len(embedding))) AS i FROM embeddings),

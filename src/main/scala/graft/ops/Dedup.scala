@@ -400,4 +400,42 @@ object Dedup {
     ids.select(col(idCol).cast("long").as("id"))
       .join(dropped, Seq("id"), "left_anti")
   }
+
+  /** Corpus-wide repeated-line REMOVAL (round-5; the RefinedWeb §3.2 /
+    * CCNet line-dedup stage: a line that recurs across the corpus is
+    * boilerplate — nav bars, cookie banners, license headers — and is
+    * stripped from every document, not merely flagged). `sep` is a LITERAL
+    * separator (newline for real corpora); a line occurring >= minDf times
+    * corpus-wide is dropped, survivors are rejoined with the same
+    * separator in original order. Output one row per input doc:
+    * (id, cleaned, n_lines, n_dropped) — a doc whose every line is
+    * boilerplate comes back as the empty string, which a downstream
+    * length filter then removes.
+    *
+    * Scale shape: the wide exchanges move (line, count) and
+    * (doc, pos, line) rows — line-sized, never whole documents both ways
+    * (the rebuild groups each doc's own lines back together, ONE shuffle
+    * keyed by doc id; the line-frequency agg is map-side partial). The
+    * per-group state is one document's lines — bounded by doc size, the
+    * same bound every per-doc op here carries. */
+  def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                         minDf: Long, sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every line")
+    val lines = df.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "ln")))
+    val cnt = lines.groupBy(col("ln")).agg(count(lit(1)).as("c"))
+    lines.join(cnt, Seq("ln"))
+      .withColumn("drp", col("c") >= minDf)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("drp"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("drp"), struct(col("pos"), col("ln"))))),
+            x => x.getField("ln")),
+          sep).as("cleaned"))
+      .select(col("id"), col("cleaned"), col("n_lines"), col("n_dropped"))
+  }
 }

@@ -896,4 +896,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "g1").map(_._1).toSet == wantG1)
     assert(got.count(_._2 == "g1") > 0 && got.count(_._2 == "g1") < 40)
   }
+
+  test("stripRepeatedLines: corpus-wide boilerplate removal (round-5)") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "keep one\nCOOKIE BANNER\nkeep two",
+      1L -> "COOKIE BANNER\nunique line",
+      2L -> "COOKIE BANNER",          // every line boilerplate -> ""
+      3L -> "solo doc",               // untouched
+      4L -> "dup pair\nmore",
+      5L -> "dup pair")               // df=2 pair stripped from both
+    val got = graft.ops.Dedup.stripRepeatedLines(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, "keep one\nkeep two", 3L, 1L),
+      (1L, "unique line", 2L, 1L),
+      (2L, "", 1L, 1L),
+      (3L, "solo doc", 1L, 0L),
+      (4L, "more", 2L, 1L),
+      (5L, "", 1L, 1L)))
+    // separator is a LITERAL (regex metachars must not be interpreted)
+    val got2 = graft.ops.Dedup.stripRepeatedLines(
+        Seq(10L -> "a || b || a", 11L -> "a").toDF("doc_id", "text"),
+        "doc_id", "text", minDf = 3, sep = " || ")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq == Seq((10L, "b", 3L, 2L), (11L, "", 1L, 1L)))
+  }
 }
