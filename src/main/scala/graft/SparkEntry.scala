@@ -746,6 +746,24 @@ object SparkEntry {
         .select($"id", $"bm25_rank".cast("long").as("bm25_rank"),
           $"bm25_score", round($"sim", 4).as("sim"))
     }),
+    // deterministic ICT positive pairs (round-5): pinned first-half crop as
+    // pseudo-query, remainder as positive passage — the contrastive
+    // retriever-training shape (pairs with < 2 tokens emit nothing)
+    "ict_pairs" -> ((s, dir) =>
+      graft.ops.Fusion.ictPairs(docsTable(s, dir), "doc_id", "text")
+        .orderBy(col("id"))),
+    // per-source data-card rollup (round-5): doc/token volumes + exact-dup
+    // rate, CORPUS-WIDE dup counting exercised by planting 15 cross-source
+    // copies (docs 0-14 re-labeled srcX at id+10000)
+    "rp_source" -> ((s, dir) => {
+      val d = docsTable(s, dir)
+      val aug = d.unionByName(
+        d.filter(col("doc_id") < 15)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("source", lit("srcX")))
+      graft.ops.Report.sourceStats(aug, "doc_id", "text", "source")
+        .orderBy(col("grp"))
+    }),
     // SemDeDup-style representative pruning (round-5): one survivor (min
     // id) per connected cosine>=0.45 near-dup group over the embeddings,
     // singletons untouched
@@ -1600,6 +1618,33 @@ object SparkEntry {
         |  round(v.sim, 4) AS sim
         |FROM lex30 l JOIN vr v USING (id) WHERE v.sim < 0.30"""
         .stripMargin.replace("\n", " ")),
+    // ICT pairs: the same pinned crop arithmetic over 1-based inclusive
+    // list slices
+    "ict_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS w FROM documents),
+        |f AS (SELECT doc_id, w, len(w) AS n,
+        |  least(ceil(len(w) * 0.5)::INT, len(w) - 1) AS q
+        |  FROM t WHERE len(w) >= 2)
+        |SELECT doc_id AS id, array_to_string(w[1:q], ' ') AS query,
+        |  array_to_string(w[q+1:n], ' ') AS passage, n::BIGINT AS n_tokens
+        |FROM f ORDER BY id""".stripMargin.replace("\n", " "),
+    // per-source data card over the same planted-copy augmentation:
+    // dup = sha256(text) occurring >= 2 times anywhere in the corpus
+    "rp_source" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'srcX' FROM documents WHERE doc_id < 15),
+        |b AS (SELECT source AS grp, doc_id, sha256(text) AS h,
+        |    len(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tok,
+        |    length(text)::BIGINT AS n_chars FROM docs2),
+        |d AS (SELECT h, count(*) AS c FROM b GROUP BY h)
+        |SELECT grp, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  round(avg(n_tok), 2) AS mean_tokens, round(avg(n_chars), 2) AS mean_chars,
+        |  sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_docs,
+        |  round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS dup_frac
+        |FROM b JOIN d USING (h) GROUP BY grp ORDER BY grp"""
+        .stripMargin.replace("\n", " "),
     // SemDeDup prune: exhaustive cosine>=0.45 pair graph + recursive
     // reachability (component = min reachable id); survivors = every id
     // whose component IS itself (or untouched singleton)

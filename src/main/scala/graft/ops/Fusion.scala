@@ -43,6 +43,34 @@ object Fusion {
       .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_lists"))
   }
 
+  /** Deterministic ICT-style positive pairs for retriever training (the
+    * Inverse Cloze Task, Lee et al. 2019 "Latent Retrieval for Weakly
+    * Supervised Open Domain QA" §3.3, the shape Contriever-style
+    * self-supervised training consumes: a crop of a document as the
+    * pseudo-query, the remainder as its positive passage). The paper
+    * crops a RANDOM sentence; a 100 TB pipeline wants the crop to be a
+    * pure function of content so re-runs and retries emit identical
+    * pairs — so the crop is pinned: the first ceil(n·cropFrac) word
+    * tokens are the query, the rest the passage. Docs with < 2 tokens
+    * produce no pair (nothing to hold out). Output (id, query, passage,
+    * n_tokens). A narrow per-row transform — no shuffle, no UDF, all
+    * codegen'd array built-ins; pairs with a hard-negative column can be
+    * had by joining [[hardNegatives]] output on id. */
+  def ictPairs(df: DataFrame, idCol: String, textCol: String,
+               cropFrac: Double = 0.5): DataFrame = {
+    require(cropFrac > 0.0 && cropFrac < 1.0, s"cropFrac in (0,1): $cropFrac")
+    val toks = expr(s"regexp_extract_all(lower($textCol), '\\\\w+', 0)")
+    val n = size(col("w"))
+    df.select(col(idCol).cast("long").as("id"), toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("q",
+        least(ceil(n.cast("double") * lit(cropFrac)).cast("int"), n - 1))
+      .select(col("id"),
+        array_join(slice(col("w"), lit(1), col("q")), " ").as("query"),
+        array_join(slice(col("w"), col("q") + 1, n - col("q")), " ").as("passage"),
+        n.cast("long").as("n_tokens"))
+  }
+
   /** Hard-negative mining for retrieval-model training (the DPR recipe,
     * Karpukhin et al. 2020 §3.2, refined by ANCE: the strongest training
     * negatives are docs the lexical retriever ranks high that are NOT

@@ -923,4 +923,38 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)
     assert(got2.toSeq == Seq((10L, "b", 3L, 2L), (11L, "", 1L, 1L)))
   }
+
+  test("ictPairs: pinned crop arithmetic, short docs dropped (round-5)") {
+    import spark.implicits._
+    val docs = Seq(0L -> "a b c d e", 1L -> "x y", 2L -> "solo", 3L -> "")
+      .toDF("doc_id", "text")
+    val got = graft.ops.Fusion.ictPairs(docs, "doc_id", "text")
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    // n=5: q = ceil(2.5) = 3; n=2: q = min(ceil(1), 1) = 1; <2 tokens drop
+    assert(got.toSeq == Seq(
+      (0L, "a b c", "d e", 5L),
+      (1L, "x", "y", 2L)))
+    // cropFrac 0.25 over 8 tokens: q = ceil(2.0) = 2
+    val got2 = graft.ops.Fusion.ictPairs(
+        Seq(7L -> "t1 t2 t3 t4 t5 t6 t7 t8").toDF("doc_id", "text"),
+        "doc_id", "text", cropFrac = 0.25)
+      .as[(Long, String, String, Long)].collect()
+    assert(got2.toSeq == Seq((7L, "t1 t2", "t3 t4 t5 t6 t7 t8", 8L)))
+  }
+
+  test("sourceStats: corpus-wide dup accounting per group (round-5)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "g1", "aaa bb"),       // dup of doc 2 (cross-group)
+      (1L, "g1", "ccc"),
+      (2L, "g2", "aaa bb"),
+      (3L, "g2", "unique here")
+    ).toDF("doc_id", "src", "text")
+    val got = graft.ops.Report.sourceStats(docs, "doc_id", "text", "src")
+      .as[(String, Long, Long, Double, Double, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("g1", 2L, 3L, 1.5, 4.5, 1L, 0.5),
+      ("g2", 2L, 4L, 2.0, 8.5, 1L, 0.5)))
+  }
 }
