@@ -942,6 +942,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq((7L, "t1 t2", "t3 t4 t5 t6 t7 t8", 8L)))
   }
 
+  test("round-5 op plan shapes: broadcast candidate join, join-free sample pass") {
+    import spark.implicits._
+    // hardNegatives: the k-row candidate list must reach the embedding
+    // relation as a BROADCAST join (never a shuffle of the embedding side).
+    // repartition() keeps Catalyst from collapsing the local fixtures to a
+    // pre-evaluated LocalTableScan, so the join strategy is actually planned.
+    val lex = (1L to 20L).map(i => (i, 21.0 - i)).toDF("id", "score").repartition(2)
+    val emb = (1L to 200L)
+      .map(i => (i, Array.tabulate(8)(d => ((i + d) % 5 + 1).toFloat)))
+      .toDF("vec_id", "embedding").repartition(8)
+    val hnPlan = graft.ops.Fusion.hardNegatives(lex, emb, "vec_id", "embedding",
+        Array.fill(8)(1f), simCutoff = 1.1).queryExecution.executedPlan.toString
+    assert(hnPlan.contains("BroadcastHashJoin"), s"no broadcast in:\n$hnPlan")
+    // tokenBudgetSample: the data pass is a literal CASE filter — the plan
+    // that emits rows must contain NO join node at all
+    val docs = (0 until 50).map(i => (i.toLong, if (i < 30) "g1" else "g2",
+      s"w$i x y z")).toDF("doc_id", "grp0", "text").repartition(4)
+    val tbPlan = graft.ops.Sampling.tokenBudgetSample(docs, "doc_id", "text",
+        "grp0", Map("g1" -> 50L, "g2" -> 50L))
+      .queryExecution.executedPlan.toString
+    assert(!tbPlan.toLowerCase.contains("join"), s"join in sample pass:\n$tbPlan")
+  }
+
   test("sourceStats: corpus-wide dup accounting per group (round-5)") {
     import spark.implicits._
     val docs = Seq(
