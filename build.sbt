@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g default re-validated in r6: with the r6 allocation fixes (analyzer
+  // group-by-hash, hex LUT, shuffle-free postingMetrics) the sf0.1 build's
+  // GC-STW is 0.2-0.4 s at 8g — the ~30 s G1 thrash measured early-r6 was
+  // the OLD code's allocation storm, not heap size — and bigger heaps
+  // reproduce the r2 VM-level page-fault storm (same-window 8g/16g/24g
+  // builds: 13.4 s / 13.8 s / 35.5 s; ledger in OPTIMIZATION_r06.md).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -93,10 +93,31 @@ object IndexBuilder {
     spark.createDataset(stamped)
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+  /** lowercase hex of a byte array — same output as the r1-r5
+    * `map(b => f"$b%02x").mkString`, minus the per-byte format-string parse
+    * and String boxing that made it a top build-phase stack sample (one
+    * call per doc on the analyze path) */
+  def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private val Sha256Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("SHA-256"))
+
   def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+    val md = Sha256Local.get()
+    md.reset()
+    toHex(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }
 
   /** phase timing to stderr when GRAFT_BUILD_TIMING=1: wall, process CPU,
@@ -393,6 +414,16 @@ object IndexBuilder {
   private[graft] def postingMetrics(spark: SparkSession,
                                     path: String): Map[Int, (Long, Long, String)] = {
     import spark.implicits._
+    // The per-row fold is an order-independent XOR, i.e. a commutative
+    // associative monoid — so it runs as a per-PARTITION partial (guide
+    // §2.3 "aggregate before you shuffle") and the partials merge on the
+    // driver. The r1-r5 groupByKey(_.segId).mapGroups shape shuffled every
+    // segment's full `blocks` payload (the whole index, again) into one
+    // task per segment just to fold it; this shape shuffles nothing at all
+    // (zero Exchange) and collects only <= partitions x segments tiny
+    // partial rows. Result is bit-identical (SparkIndexSpec asserts it
+    // against an in-test reference fold; the cross-round index digest is
+    // the standing witness).
     spark.read.parquet(path)
       // manifest metrics stay REAL-postings-only: the D14 pseudo rows are
       // derived data (a pure function of the segment's doc set), so
@@ -400,12 +431,10 @@ object IndexBuilder {
       // and keeps postingRows == distinct indexed terms
       .filter($"term" >= graft.search.Q.RealTermMin)
       .select($"term", $"df", $"maxTf", $"blocks", $"segId").as[SegRead]
-      .groupByKey(_.segId).mapGroups { (segId, it) =>
+      .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("SHA-256")
         val ints = java.nio.ByteBuffer.allocate(8)
-        val dig = new Array[Byte](16)
-        var n = 0L
-        var bytes = 0L
+        val acc = new java.util.HashMap[Int, (Array[Byte], Long, Long)]()
         it.foreach { r =>
           md.reset()
           md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -414,13 +443,27 @@ object IndexBuilder {
           md.update(ints.putInt(r.df).putInt(r.maxTf).array())
           md.update(r.blocks)
           val h = md.digest()
+          val cur = acc.get(r.segId)
+          val (dig, n, bytes) =
+            if (cur == null) (new Array[Byte](16), 0L, 0L) else cur
           var i = 0
           while (i < 16) { dig(i) = (dig(i) ^ h(i)).toByte; i += 1 }
-          n += 1
-          bytes += r.blocks.length.toLong
+          acc.put(r.segId, (dig, n + 1L, bytes + r.blocks.length.toLong))
         }
-        (segId, n, bytes, dig.map(b => f"$b%02x").mkString)
-      }.collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala
+          .map(e => (e.getKey.intValue(), e.getValue._2, e.getValue._3, e.getValue._1))
+      }
+      .collect()
+      .groupBy(_._1)
+      .map { case (segId, partials) =>
+        val dig = new Array[Byte](16)
+        partials.foreach { p =>
+          var i = 0
+          while (i < 16) { dig(i) = (dig(i) ^ p._4(i)).toByte; i += 1 }
+        }
+        segId -> ((partials.map(_._2).sum, partials.map(_._3).sum, toHex(dig)))
+      }
   }
 
   /** global lexicon: term -> corpus-wide df, range-partitioned + sorted so
@@ -441,19 +484,28 @@ object IndexBuilder {
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     // maxTf = the term's corpus-wide max term frequency ([W] whoosh TermInfo
     // max_weight): the driver-side query upper-bound input (Searcher.termStats)
-    seg.groupBy($"term").agg(sum($"df").cast("long").as("df"),
+    //
+    // The aggregate is persisted for the duration of this function: THREE
+    // consumers (the range-partitioner's sampling pass, the base write, the
+    // gram-sidecar write) would otherwise each rerun the segments scan +
+    // groupBy — measured r6 as one extra full segments pass plus a lexicon
+    // parquet re-read per build. Vocab-sized (not corpus-sized) state, and
+    // released before return.
+    val agg = seg.groupBy($"term").agg(sum($"df").cast("long").as("df"),
         sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("long").as("maxTf"))
-      .repartitionByRange(lexPartitions, $"term")
-      .sortWithinPartitions("term")
-      .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
-    spark.read.parquet(lexiconDir(indexDir))
-      .select($"term").as[String]
-      .flatMap(t => grams3(t).iterator.map(g => (g, t)))
-      .toDF("gram", "term")
-      .repartitionByRange(lexPartitions, $"gram")
-      .sortWithinPartitions("gram", "term")
-      .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      agg.repartitionByRange(lexPartitions, $"term")
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
+      agg.select($"term").as[String]
+        .flatMap(t => grams3(t).iterator.map(g => (g, t)))
+        .toDF("gram", "term")
+        .repartitionByRange(lexPartitions, $"gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
+    } finally { agg.unpersist(); () }
     // the full rebuild covers every live segment, so any pending delta
     // lexicons are superseded — GC them (a crash before this delete leaves
     // a double-count window only until the rebuild reruns; builds are the

@@ -673,4 +673,37 @@ class SparkIndexSpec extends AnyFunSuite {
     val live2 = Searcher.search(spark, h3, "*", docs.size + 5).collect()
     assert(live2.map(_.docId).toSet == docs.map(_._1).toSet -- expectedDel)
   }
+
+  test("postingMetrics r6: shuffle-free partial fold == per-segment reference fold") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("pmref")
+    val corpus = spark.createDataset(fixtureRows)
+    IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 2))
+    val got = IndexBuilder.postingMetrics(spark, IndexBuilder.segmentsDir(dir))
+    // reference: the r5 per-segment sequential fold, driver-side
+    val rows = spark.read.parquet(IndexBuilder.segmentsDir(dir))
+      .filter($"term" >= graft.search.Q.RealTermMin)
+      .select($"term", $"df", $"maxTf", $"blocks", $"segId")
+      .as[graft.model.SegRead].collect()
+    val expected = rows.groupBy(_.segId).map { case (segId, rs) =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val dig = new Array[Byte](16)
+      var bytes = 0L
+      rs.foreach { r =>
+        md.reset()
+        md.update(r.term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update(0.toByte)
+        md.update(java.nio.ByteBuffer.allocate(8).putInt(r.df).putInt(r.maxTf).array())
+        md.update(r.blocks)
+        val h = md.digest()
+        (0 until 16).foreach(i => dig(i) = (dig(i) ^ h(i)).toByte)
+        bytes += r.blocks.length.toLong
+      }
+      segId -> ((rs.length.toLong, bytes, dig.map(b => f"$b%02x").mkString))
+    }
+    assert(got == expected)
+    // manifests carry the same digests (the commit-path consumer)
+    val manifests = IndexBuilder.readManifests(fsOf(dir), dir)
+    manifests.foreach(m => assert(got(m.segId)._3 == m.digest))
+  }
 }
