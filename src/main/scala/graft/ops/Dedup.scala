@@ -330,13 +330,23 @@ object Dedup {
     * covered by at least one duplicated span (the paper's removal unit),
     * and that coverage as a fraction of the doc's tokens.
     *
-    * Scale shape: span rows reach exactly ONE hash shuffle on the span text
-    * for the distinct-doc count (partial aggregation absorbs hot spans
-    * map-side — a boilerplate span that appears everywhere arrives at the
-    * reducer as one partial row per map task, the G2 argument), then one
-    * equi-join back on the same key and per-doc aggregations that shuffle
-    * only (id, counters). Nothing is collected; no cartesian exists. Token
-    * coverage explodes at most window * dupSpans rows per doc. */
+    * Scale shape (r6 rework of all three exchanges; output unchanged):
+    *  - span TEXT never shuffles — spans are hashed to 64-bit keys map-side
+    *    (the r5 verdict's #2: the text form shipped ~10x corpus token bytes
+    *    across TWO exchanges; the hashed form ships 24-byte rows; the
+    *    2^-64-per-pair collision risk is the same trade `ngramJaccardPairs`
+    *    and `stripRepeatedLines` already make, and the driver oracle
+    *    verifies the fixture corpus collision-free);
+    *  - n_spans = max(0, ntok - window + 1) arithmetically from the
+    *    token-count pass — the r5 form recomputed the whole span stream and
+    *    shuffled it a third time just to count it;
+    *  - dup-token coverage is an interval-union fold over each doc's sorted
+    *    duplicated-span starts (codegen'd collect_list + aggregate HOF) —
+    *    the r5 form exploded window x dupSpans rows per doc through a
+    *    countDistinct exchange.
+    * Remaining exchanges: ONE hash shuffle of (sh, id) for the distinct-doc
+    * count (map-side partials absorb hot spans — the G2 argument), the
+    * equi-join back on `sh`, and per-doc aggregations of (id, counters). */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    window: Int = 10, minDocs: Int = 2): DataFrame = {
     require(window >= 1 && minDocs >= 2)
@@ -347,30 +357,35 @@ object Dedup {
     val base = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .map { case (id, text) => (id, words(text).length.toLong) }
       .toDF("id", "ntok")
-    // (id, pos, span-text) rows; docs shorter than the window emit none
+    // (id, pos, span-HASH) rows; docs shorter than the window emit none
     val sp = df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .flatMap { case (id, text) =>
         val w = words(text)
         (0 to w.length - wLocal).iterator.map(p =>
-          (id, p, w.slice(p, p + wLocal).mkString(" ")))
+          (id, p, hashString(1013L, w.slice(p, p + wLocal).mkString(" "))))
       }.toDF("id", "pos", "sh")
     val dup = sp.groupBy(col("sh"))
       .agg(countDistinct(col("id")).as("docs"))
       .filter(col("docs") >= minDocs)
       .select(col("sh"))
     val dupSp = sp.join(dup, Seq("sh"))
-    val nSpans = sp.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
     val nDup = dupSp.groupBy(col("id")).agg(count(lit(1)).as("dup_spans"))
-    // tokens covered by >= 1 duplicated span: interval union via explode
-    val cov = dupSp
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + lit(window - 1))).as("tp"))
-      .groupBy(col("id")).agg(countDistinct(col("tp")).as("dup_tokens"))
-    base.join(nSpans, Seq("id"), "left")
-      .join(nDup, Seq("id"), "left")
+    // tokens covered by >= 1 duplicated span: union of [pos, pos+window-1]
+    // intervals == fold over ascending starts of min(window, gap)
+    val cov = dupSp.groupBy(col("id"))
+      .agg(aggregate(
+        array_sort(collect_list(col("pos"))),
+        struct(lit(-1).as("prev"), lit(0L).as("acc")),
+        (s, p) => struct(p.cast("int").as("prev"),
+          (s.getField("acc") +
+            when(s.getField("prev") < 0, lit(window))
+              .otherwise(least(lit(window), p - s.getField("prev"))))
+            .as("acc")),
+        s => s.getField("acc")).as("dup_tokens"))
+    base.join(nDup, Seq("id"), "left")
       .join(cov, Seq("id"), "left")
       .select(col("id"), col("ntok"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        greatest(col("ntok") - lit(window - 1).cast("long"), lit(0L)).as("n_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         when(col("ntok") > 0,
@@ -412,21 +427,28 @@ object Dedup {
     * boilerplate comes back as the empty string, which a downstream
     * length filter then removes.
     *
-    * Scale shape: the wide exchanges move (line, count) and
-    * (doc, pos, line) rows — line-sized, never whole documents both ways
-    * (the rebuild groups each doc's own lines back together, ONE shuffle
-    * keyed by doc id; the line-frequency agg is map-side partial). The
-    * per-group state is one document's lines — bounded by doc size, the
-    * same bound every per-doc op here carries. */
+    * Scale shape (r6 rework; output unchanged): line frequencies aggregate
+    * and join on a 64-bit xxhash64 of the line, not the line TEXT — the
+    * count exchange moves 8-byte keys, and the flag join's build side is
+    * just the DROPPED hash set (lines at/above minDf — boilerplate, a tiny
+    * fraction of distinct lines), which AQE broadcast-joins when it fits so
+    * the line text crosses the wire exactly ONCE (the id-keyed rebuild,
+    * which must ship text by definition). The r5 form keyed both the agg
+    * and the join on full line text. Same 2^-64 collision trade as the
+    * other hashed-key ops; driver-oracle-verified collision-free on the
+    * fixtures. Per-group state stays one document's lines. */
   def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
                          minDf: Long, sep: String = "\n"): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every line")
     val lines = df.select(col(idCol).cast("long").as("id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "ln")))
-    val cnt = lines.groupBy(col("ln")).agg(count(lit(1)).as("c"))
-    lines.join(cnt, Seq("ln"))
-      .withColumn("drp", col("c") >= minDf)
+      .withColumn("h", xxhash64(col("ln")))
+    val droppedKeys = lines.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minDf)
+      .select(col("h"), lit(true).as("drp0"))
+    lines.join(droppedKeys, Seq("h"), "left")
+      .withColumn("drp", coalesce(col("drp0"), lit(false)))
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("n_lines"),

@@ -49,14 +49,57 @@ object Similarity {
     * (constant dims collapse to mn) so the oracle reproduces it exactly. */
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int): DataFrame = {
-    val mmRows = df
-      .select(posexplode(col(vecCol)).as(Seq("i", "v")))
-      .groupBy(col("i"))
-      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
-      .collect() // bounded: one row per embedding dimension
-    val dim = mmRows.map(_.getInt(0)).max + 1
-    val mn = new Array[Double](dim); val mx = new Array[Double](dim)
-    mmRows.foreach { r => mn(r.getInt(0)) = r.getDouble(1); mx(r.getInt(0)) = r.getDouble(2) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Per-dimension min/max calibration as a mapPartitions partial fold
+    // (the trainKMeans shape): each task folds its vectors into two
+    // dim-sized arrays and emits ONE row — no posexplode of N x dim rows
+    // through an aggregation exchange (the r5 form touched every element
+    // twice; r5 verdict #5). Values are identical: same float->double
+    // widening, exact min/max. Ragged inputs keep the r5 semantics — a
+    // dimension's range covers exactly the rows long enough to have it.
+    val partials = df.select(col(vecCol)).as[Array[Float]]
+      .mapPartitions { it =>
+        var mn: Array[Double] = null
+        var mx: Array[Double] = null
+        var used = 0
+        it.foreach { v =>
+          if (v != null) {
+            if (mn == null || v.length > mn.length) {
+              val grown = math.max(v.length, if (mn == null) 0 else mn.length)
+              val nmn = java.util.Arrays.copyOf(
+                if (mn == null) new Array[Double](0) else mn, grown)
+              val nmx = java.util.Arrays.copyOf(
+                if (mx == null) new Array[Double](0) else mx, grown)
+              java.util.Arrays.fill(nmn, used, grown, Double.PositiveInfinity)
+              java.util.Arrays.fill(nmx, used, grown, Double.NegativeInfinity)
+              mn = nmn; mx = nmx; used = grown
+            }
+            var i = 0
+            while (i < v.length) {
+              val d = v(i).toDouble
+              if (d < mn(i)) mn(i) = d
+              if (d > mx(i)) mx(i) = d
+              i += 1
+            }
+          }
+        }
+        if (mn == null) Iterator.empty else Iterator((mn, mx))
+      }
+      .collect() // bounded: one (mn, mx) array pair per partition
+    require(partials.nonEmpty,
+      "sq8TopK: input has no vectors to calibrate against (empty DataFrame)")
+    val dim = partials.map(_._1.length).max
+    val mn = Array.fill(dim)(Double.PositiveInfinity)
+    val mx = Array.fill(dim)(Double.NegativeInfinity)
+    partials.foreach { case (pmn, pmx) =>
+      var i = 0
+      while (i < pmn.length) {
+        if (pmn(i) < mn(i)) mn(i) = pmn(i)
+        if (pmx(i) > mx(i)) mx(i) = pmx(i)
+        i += 1
+      }
+    }
     val mnL = typedlit(mn.toSeq); val mxL = typedlit(mx.toSeq)
     val dq = transform(col(vecCol), (x, i) => {
       val lo = element_at(mnL, i + 1)

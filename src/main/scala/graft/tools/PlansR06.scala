@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** r6 optimization-round plan dumps: explain("formatted") for every
+  * operator/query touched this round, written to plans/r06/<name>_<tag>.txt
+  * (tag = argv(0), "before" or "after"). Not part of the driver contract. */
+object PlansR06 {
+  def main(args: Array[String]): Unit = {
+    val tag = if (args.nonEmpty) args(0) else "after"
+    val outDir = new java.io.File("plans/r06")
+    outDir.mkdirs()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val w = new java.io.PrintWriter(new java.io.File(outDir, s"${name}_$tag.txt"))
+      try w.write(txt) finally w.close()
+      System.err.println(s"[plans-r06] wrote ${name}_$tag.txt")
+    }
+
+    // deterministic mini corpus (shape only — plans don't depend on size)
+    val docs = (0L until 64L).map { i =>
+      (i, s"alpha beta w$i gamma delta line one\nshared boilerplate line\n" +
+        s"tail ${i % 7} text", if (i % 5 == 0) "en" else s"l${i % 3}")
+    }.toDF("doc_id", "text", "lang")
+    val vecs = (0L until 64L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    val q = Array.tabulate(8)(d => (d % 5).toFloat / 5f)
+
+    dump("dd_dupspans",
+      graft.ops.Dedup.dupSpanStats(docs, "doc_id", "text", 5, 2))
+    dump("dd_striplines",
+      graft.ops.Dedup.stripRepeatedLines(docs, "doc_id", "text", 3L))
+    dump("sl_ppl_bucket",
+      graft.ops.Selection.pplBuckets(docs, "doc_id", "text", "lang", 3))
+    dump("ann_sq8_topk",
+      graft.ops.Similarity.sq8TopK(vecs, "vec_id", "embedding", q, 10))
+
+    spark.stop()
+  }
+}

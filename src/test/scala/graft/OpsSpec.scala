@@ -980,4 +980,85 @@ class OpsSpec extends AnyFunSuite {
       ("g1", 2L, 3L, 1.5, 4.5, 1L, 0.5),
       ("g2", 2L, 4L, 2.0, 8.5, 1L, 0.5)))
   }
+
+  test("pplBuckets r6: distributed ntile == window ntile on a dominant-language corpus, no Window node") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.Selection
+    // one stratum >> others (the CCNet dominant-language shape), spread
+    // over many input partitions so the distributed rank crosses partition
+    // boundaries mid-language
+    val docs = (0L until 400L).map { i =>
+      val lang = if (i % 20 == 0) s"l${i % 3}" else "en"
+      (i, s"w${i % 37} w${(i * 7) % 53} w${(i * 11) % 11} tok$i", lang)
+    }.toDF("doc_id", "text", "lang").repartition(16)
+    val gotDf = Selection.pplBuckets(docs, "doc_id", "text", "lang", 4)
+    // the r5 scale-killer was ntile OVER (PARTITION BY lang): assert the r6
+    // op plans no window at all (the rank pass is a range-partitioned fold)
+    assert(!gotDf.queryExecution.executedPlan.toString.contains("Window"))
+    val got = gotDf.as[(Long, String, Double, Int, String)].collect().toSet
+    // reference: the exact window-ntile form the oracle pins
+    val scored = graft.ops.TextQuality.unigramLogProb(docs, "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("logprob").desc, col("id").asc)
+    val expected = docs.select(col("doc_id").cast("long").as("id"), col("lang"))
+      .join(scored, Seq("id"))
+      .withColumn("bucket", ntile(4).over(w))
+      .select(col("id"), col("lang"), col("logprob"), col("bucket"),
+        when(col("bucket") === 1, lit("head"))
+          .when(col("bucket") === 4, lit("tail"))
+          .otherwise(lit("middle")).as("band"))
+      .as[(Long, String, Double, Int, String)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("ntileBucket r6: formula == SQL NTILE for every (n, buckets, rank)") {
+    import graft.ops.Selection
+    for (n <- 1L to 40L; k <- 1 to 7) {
+      // SQL NTILE: first n%k buckets hold ceil(n/k) rows, the rest floor
+      val sizes = (0 until k).map(i => n / k + (if (i < n % k) 1 else 0))
+      val ref = sizes.zipWithIndex.flatMap { case (sz, i) => Seq.fill(sz.toInt)(i + 1) }
+      (1L to n).foreach { r =>
+        assert(Selection.ntileBucket(r, n, k) == ref((r - 1).toInt),
+          s"n=$n k=$k rank=$r")
+      }
+    }
+  }
+
+  test("dupSpanStats r6: hashed-key form keeps the brute-force identity under many partitions") {
+    import spark.implicits._
+    // crafted overlaps: doc pairs sharing windows at different offsets
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),
+      (1L, "x y a b c d e f z q"),          // shares a 5-window with doc 0
+      (2L, "x y a b c d e f z q"),          // exact dup of 1
+      (3L, "m n o p"),                      // shorter than window
+      (4L, "")
+    ).toDF("doc_id", "text").repartition(7)
+    val got = graft.ops.Dedup.dupSpanStats(docs, "doc_id", "text", 5, 2)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    // brute-force reference over raw span text
+    val texts = Map(0L -> "a b c d e f g h i j k l", 1L -> "x y a b c d e f z q",
+      2L -> "x y a b c d e f z q", 3L -> "m n o p", 4L -> "")
+    val spans: Map[Long, Seq[(Int, String)]] = texts.map { case (id, t) =>
+      val w = graft.ops.Dedup.words(t)
+      id -> (0 to w.length - 5).map(p => (p, w.slice(p, p + 5).mkString(" ")))
+    }
+    val dupSet = spans.values.flatten.groupBy(_._2)
+      .filter { case (_, occ) =>
+        spans.count { case (_, ss) => ss.exists(x => x._2 == occ.head._2) } >= 2
+      }.keySet
+    got.foreach { case (id, ntok, nSpans, dupSpans, dupTokens, frac) =>
+      val w = graft.ops.Dedup.words(texts(id))
+      assert(ntok == w.length)
+      assert(nSpans == math.max(0, w.length - 5 + 1))
+      val dups = spans(id).filter(s => dupSet.contains(s._2))
+      assert(dupSpans == dups.size, s"doc $id")
+      val covered = dups.flatMap(s => s._1 until (s._1 + 5)).toSet
+      assert(dupTokens == covered.size, s"doc $id coverage")
+      val expFrac = if (w.isEmpty) 0.0
+        else math.floor(covered.size.toDouble / w.length * 1e4 + 0.5) / 1e4
+      assert(math.abs(frac - expFrac) < 1e-12)
+    }
+  }
 }
