@@ -87,8 +87,34 @@ object IndexBuilder {
     val sorted = corpus
       .repartitionByRange(p, $"repo", $"path", $"commit")
       .sortWithinPartitions("repo", "path", "commit")
-    val stamped = sorted.rdd.zipWithIndex().map { case (c, i) =>
-      Doc(i, c.repo, c.path, c.commit, c.lang, c.content, sha256Hex(c.content))
+    // ONE InternalRow RDD shared by the offsets job and the stamp job (the
+    // zipWithIndex contract, r6 at the Tungsten level): the count job
+    // iterates binary UnsafeRows without touching a field — the r1-r5
+    // rdd.zipWithIndex deserialized every content-bearing CorpusRow twice
+    // (once to count, once to stamp). Same shuffle files feed both jobs;
+    // docIds are unchanged (same sort, same prefix-sum offsets).
+    val internal = sorted.queryExecution.toRdd
+    val counts = internal.mapPartitions(it => Iterator(it.size.toLong)).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = sorted.schema
+    val iRepo = schema.fieldIndex("repo")
+    val iPath = schema.fieldIndex("path")
+    val iCommit = schema.fieldIndex("commit")
+    val iLang = schema.fieldIndex("lang")
+    val iContent = schema.fieldIndex("content")
+    val stamped = internal.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { row =>
+        // getString copies out of the reused UnsafeRow buffer before next();
+        // null guard matches the encoder's null -> null String behavior
+        @inline def s(ord: Int): String =
+          if (row.isNullAt(ord)) null else row.getString(ord)
+        val content = s(iContent)
+        val d = Doc(i, s(iRepo), s(iPath), s(iCommit), s(iLang), content,
+          sha256Hex(content))
+        i += 1
+        d
+      }
     }
     spark.createDataset(stamped)
   }
@@ -270,14 +296,24 @@ object IndexBuilder {
     if (cfg.persistAnalyzed) analyzed.persist(StorageLevel.MEMORY_AND_DISK)
 
     try {
-      // docstats sidecar (stored-field keys + sha invariant + lengths)
-      timed("analyze+docstats") {
-        analyzed
-          .map(a => DocStat(a.segId, a.docId, a.repo, a.path, a.commit, a.lang,
-            a.sha, a.rawLen, a.lenByte))
-          .write.mode(SaveMode.Overwrite).partitionBy("segId")
-          .parquet(s"$staging/docstats")
-      }
+      // materialize the analyzed cache with ONE job, so the two consumers
+      // below (docstats sidecar, postings build) can run CONCURRENTLY
+      // against it (guide §2.6 overlap: the small docstats write back-fills
+      // executors left idle by the postings job's tail) without racing the
+      // cache computation partition by partition
+      if (cfg.persistAnalyzed) timed("analyze(materialize)")(analyzed.count())
+      val docstatsF: java.util.concurrent.FutureTask[Unit] =
+        new java.util.concurrent.FutureTask(() =>
+          timed("docstats write") {
+            analyzed
+              .map(a => DocStat(a.segId, a.docId, a.repo, a.path, a.commit, a.lang,
+                a.sha, a.rawLen, a.lenByte))
+              .write.mode(SaveMode.Overwrite).partitionBy("segId")
+              .parquet(s"$staging/docstats")
+          })
+      val docstatsT = new Thread(docstatsF, "graft-docstats-write")
+      docstatsT.setDaemon(true)
+      docstatsT.start()
 
       // Phase 1 (map-side combine, G1/G2): per input partition, stream docs
       // in docId order and append each (docId, tf, lenByte, positions) to a
@@ -377,17 +413,25 @@ object IndexBuilder {
         segRows.write.mode(SaveMode.Overwrite).partitionBy("segId")
           .parquet(s"$staging/segments")
       }
+      docstatsF.get() // join the overlapped docstats write (rethrows failures)
 
-      // per-segment metrics for the manifest, computed from the written files
+      // per-segment metrics for the manifest, computed from the written
+      // files; the two read-backs scan DIFFERENT staging dirs and run
+      // concurrently (§2.6 again — docAgg's tiny scan fills segAgg's tail)
+      val docAggF: java.util.concurrent.FutureTask[Map[Int, (Long, Long, Long, Long)]] =
+        new java.util.concurrent.FutureTask(() =>
+          timed("manifest docAgg")(spark.read.parquet(s"$staging/docstats")
+            .groupBy($"segId")
+            .agg(count(lit(1)).as("docCount"), min($"docId").as("lo"),
+              max($"docId").as("hi"), sum($"rawLen").as("rawLenSum"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+            .toMap))
+      val docAggT = new Thread(docAggF, "graft-docagg")
+      docAggT.setDaemon(true)
+      docAggT.start()
       val segAgg = timed("manifest segAgg")(postingMetrics(spark, s"$staging/segments"))
-
-      val docAgg = timed("manifest docAgg")(spark.read.parquet(s"$staging/docstats")
-        .groupBy($"segId")
-        .agg(count(lit(1)).as("docCount"), min($"docId").as("lo"),
-          max($"docId").as("hi"), sum($"rawLen").as("rawLenSum"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-        .toMap)
+      val docAgg = docAggF.get()
 
       // promote staging -> final, then commit the manifest (the commit point)
       val toCommit = batch.getOrElse((segAgg.keySet ++ docAgg.keySet).toSeq.sorted)

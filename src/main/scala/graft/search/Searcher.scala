@@ -44,7 +44,16 @@ object Searcher {
                           val delRanges: Map[Int, Seq[Long]],
                           val chain: graft.analysis.Chain = graft.analysis.Chain.Standard,
                           val lexgrams: Option[DataFrame] = None,
-                          val liveSegIds: Seq[Int] = Seq.empty) {
+                          val liveSegIds: Seq[Int] = Seq.empty,
+                          /** r6: every live segment is ONE parquet file with
+                            * ONE row group (verified from the footers at open
+                            * time) — the physical invariant that lets the
+                            * kernel run scan-side with no exchange, because a
+                            * whole row group is always consumed by exactly
+                            * one scan task. False after term-range-partitioned
+                            * merges or for multi-row-group (>~128 MB)
+                            * segments; those fall back to the shuffle path. */
+                          val segColocated: Boolean = false) {
     def hasDeletes: Boolean = delRanges.nonEmpty
     private[search] val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   }
@@ -118,7 +127,38 @@ object Searcher {
       delRanges,
       new graft.analysis.Chain(graft.analysis.AnalyzerSpec.fromString(st.analyzer)),
       lexgrams,
-      liveSegs)
+      liveSegs,
+      segmentsColocated(fs, indexDir, liveSegs))
+  }
+
+  /** r6: verify the one-file / one-row-group-per-live-segment layout that
+    * the exchange-free kernel path requires (a parquet row group is consumed
+    * by exactly one scan task, so single-row-group segments can never split
+    * across tasks). One listing + one footer read per segment, paid once at
+    * open. Fresh builds and streaming appends write exactly this layout;
+    * term-range-partitioned merge output (several files per segId) and
+    * multi-row-group segments return false -> shuffle fallback. */
+  private def segmentsColocated(fs: FileSystem, indexDir: String,
+                                liveSegs: Seq[Int]): Boolean = {
+    if (liveSegs.isEmpty) return false
+    val conf = fs.getConf
+    liveSegs.forall { segId =>
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${IndexBuilder.segmentsDir(indexDir)}/segId=$segId")
+      if (!fs.exists(dir)) true // committed-empty segment: no rows anywhere
+      else {
+        val files = fs.listStatus(dir).filter { s =>
+          val n = s.getPath.getName
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }
+        files.length <= 1 && files.forall { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size() <= 1 finally r.close()
+        }
+      }
+    }
   }
 
   /** Multiterm expansion against the global lexicon: matching terms in
@@ -384,10 +424,22 @@ object Searcher {
   }
 
   /** Shared per-segment kernel runner: one pruned scan for `terms` (+ the
-    * required Every pseudo lists), one groupByKey(segId), the kernel list
-    * map k-way-merged, the executor-side tombstone probe built — then `f`
-    * produces the segment's output rows. Captures only plain locals (never
-    * the handle) so the closure stays serialization-clean. */
+    * required Every pseudo lists), the kernel list map k-way-merged, the
+    * executor-side tombstone probe built — then `f` produces the segment's
+    * output rows. Captures only plain locals (never the handle) so the
+    * closure stays serialization-clean.
+    *
+    * Two physical shapes (r6):
+    *  - COLOCATED (the common case — open() verified one file + one row
+    *    group per live segment): the kernel runs scan-side in a
+    *    mapPartitions, grouping the task's rows by segId in a hash map. No
+    *    exchange, no sort, no AQE stage barrier — a warm top-k query is ONE
+    *    single-stage job (plans/r06/&lt;q&gt;_after.txt). Safe because a parquet
+    *    row group is consumed by exactly one scan task, so a task always
+    *    holds whole segments.
+    *  - FALLBACK (post-merge multi-file segments, or >1 row group): the
+    *    r1-r5 groupByKey(segId) shuffle, which co-locates split segments
+    *    correctly at one small exchange's cost. */
   private def perSegmentKernel[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, handle: IndexHandle, terms: Set[String],
       everyFields: Set[String], dfs: Map[String, Long])(
@@ -396,16 +448,36 @@ object Searcher {
     val delRanges = handle.delRanges
     val dirLocal = handle.indexDir
     val fLocal = f
-    queryRows(spark, handle, terms, everyFields)
-      .groupByKey(_.segId)
-      .flatMapGroups { (segId, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+    val rows = queryRows(spark, handle, terms, everyFields)
+    if (handle.segColocated)
+      rows.mapPartitions { it =>
+        val bySeg = new java.util.LinkedHashMap[Int,
+          scala.collection.mutable.HashMap[String, Kernel.TermList]]()
         it.foreach { r =>
+          var lists = bySeg.get(r.segId)
+          if (lists == null) {
+            lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+            bySeg.put(r.segId, lists)
+          }
           Kernel.mergeList(lists, r.term,
             Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
         }
-        fLocal(lists.toMap, tombstoneProbe(delRanges, dirLocal, segId))
+        import scala.jdk.CollectionConverters._
+        bySeg.entrySet().iterator().asScala.flatMap { e =>
+          fLocal(e.getValue.toMap, tombstoneProbe(delRanges, dirLocal, e.getKey))
+        }
       }
+    else
+      rows
+        .groupByKey(_.segId)
+        .flatMapGroups { (segId, it) =>
+          val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+          it.foreach { r =>
+            Kernel.mergeList(lists, r.term,
+              Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+          }
+          fLocal(lists.toMap, tombstoneProbe(delRanges, dirLocal, segId))
+        }
   }
 
   /** ALL docIds matching a query — the delete-by-query feed: same pruned
@@ -702,9 +774,17 @@ object Searcher {
                     weighting: Weighting = BM25Weighting): FacetedSearch = {
     val hitsDf = scoredMatches(spark, handle, query, weighting).toDF()
     val need = (facetField +: sortKeys.map(_._1)).distinct.map(col)
+    // the hits side gets an explicit docId exchange BEFORE the docstats
+    // join (r6): hit rows are 16 bytes, so the shuffle is cheap, and its
+    // materialization lets AQE size the join from REAL row counts — a
+    // selective query broadcast-joins the (tiny) hit set into the docstats
+    // scan, while a match-all query degrades to a co-shuffled join. Without
+    // it the static planner broadcast-collected the docstats side on every
+    // call (measured +~250 ms per faceted query once the r6 exchange-free
+    // kernel removed the shuffle AQE used to re-plan around).
     val matches = liveDocstats(spark, handle)
       .select(col("docId") +: need: _*)
-      .join(hitsDf, Seq("docId"))
+      .join(hitsDf.repartition(col("docId")), Seq("docId"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     new FacetedSearch(matches, facetField, sortKeys, k)
   }

@@ -81,6 +81,18 @@ object OpsBench {
     bench("dd_striplines") {
       Dedup.stripRepeatedLines(corpus, "doc_id", "text", minDf = 2, sep = " w0000 ")
     }
+    // r6 additions: the two ops whose scale shape was reworked this round.
+    // dupSpanStats explodes ~ntok span rows per doc; pplBuckets runs on a
+    // 90%-dominant stratum (the CCNet shape the r5 window form single-tasked)
+    bench("dd_dupspans") {
+      Dedup.dupSpanStats(corpus, "doc_id", "text", window = 10, minDocs = 2)
+    }
+    bench("sl_ppl_bucket") {
+      graft.ops.Selection.pplBuckets(
+        corpus.withColumn("lang",
+          when(col("doc_id") % 10 < 9, lit("en")).otherwise(lit("lx"))),
+        "doc_id", "text", "lang", 3)
+    }
     bench("sp_split") { Sampling.contentSplit(corpus, "doc_id", "text") }
     bench("mx_sample") {
       Sampling.tokenBudgetSample(corpus, "doc_id", "text", "source",

@@ -47,6 +47,37 @@ object PlansR06 {
     dump("ann_sq8_topk",
       graft.ops.Similarity.sq8TopK(vecs, "vec_id", "embedding", q, 10))
 
+    // bench-query plans against a pre-built bench index (run graft.Bench
+    // first); skipped when the index is absent
+    val ixDir = sys.env.getOrElse("GRAFT_PLANS_IX",
+      "/dev/shm/graft-bench/ix-c32-n120000")
+    if (new java.io.File(ixDir).isDirectory) {
+      val h = graft.search.Searcher.open(spark, ixDir)
+      val qs = Seq(
+        "q_term_hot" -> "w0000",
+        "q_and" -> "w0003 AND w0007",
+        "q_or_hot" -> "w0000 OR w0001 OR w0002",
+        "q_phrase" -> "\"needle alpha beta\"",
+        "q_mixed" -> "w0002 AND (w0010 OR w0020)",
+        "q_not" -> "w0004 NOT w0000",
+        "q_every" -> "NOT w0004")
+      qs.foreach { case (name, q) =>
+        dump(name, graft.search.Searcher.search(spark, h, q, 10).toDF())
+      }
+      dump("q_spannear", graft.search.Searcher.search(spark, h,
+        "w0000 NEAR/5 w0001", 10).toDF())
+      dump("q_spanfirst", graft.search.Searcher.searchQ(spark, h,
+        graft.search.QSpanFirst(graft.search.QTerm("w0000"), 16), 10).toDF())
+      dump("q_batch10", graft.search.Searcher.searchMany(spark, h,
+        qs.map(x => (x._1, x._2)), 10))
+      val fsr = graft.search.Searcher.searchFaceted(spark, h, "w0000", "lang",
+        Seq("rawLen" -> false), k = 10)
+      try {
+        dump("q_faceted_hits", fsr.hits)
+        dump("q_faceted_facets", fsr.facets)
+      } finally fsr.close()
+    }
+
     spark.stop()
   }
 }

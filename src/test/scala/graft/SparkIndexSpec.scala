@@ -674,6 +674,43 @@ class SparkIndexSpec extends AnyFunSuite {
     assert(live2.map(_.docId).toSet == docs.map(_._1).toSet -- expectedDel)
   }
 
+  test("colocated kernel r6: exchange-free path == shuffle path; merge flips the guard") {
+    import spark.implicits._
+    val dir = SparkTestBase.tmpDir("coloc")
+    val corpus = CorpusSource.synth(spark, 600, 42L, 6)
+    IndexBuilder.build(spark, corpus, dir, IndexConfig(segSize = 100))
+    val h = Searcher.open(spark, dir)
+    // fresh build writes one file + one row group per segment
+    assert(h.segColocated, "fresh build should take the colocated path")
+    // the same handle with the guard forced off runs the r5 shuffle path;
+    // every query must agree hit-for-hit and score-for-score
+    val hShuffle = new Searcher.IndexHandle(h.indexDir, h.stats, h.segSize,
+      h.segments, h.lexicon, h.delRanges, h.chain, h.lexgrams, h.liveSegIds,
+      segColocated = false)
+    val queries = TestFixtures.querySet.map(_._2) ++
+      Seq("w0000 OR w0001", "NOT w0004", "*", "w0000 NEAR/5 w0001")
+    queries.foreach { q =>
+      val a = Searcher.search(spark, h, q, 10).collect().toSeq
+      val b = Searcher.search(spark, hShuffle, q, 10).collect().toSeq
+      assert(a == b, s"colocated != shuffle for '$q'")
+    }
+    // the colocated plan has no exchange; the fallback plan has one
+    val pa = Searcher.search(spark, h, "w0000 AND w0001", 10)
+      .queryExecution.executedPlan.toString
+    val pb = Searcher.search(spark, hShuffle, "w0000 AND w0001", 10)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange"), s"colocated plan has an exchange:\n$pa")
+    assert(pb.contains("Exchange"))
+    // a term-range-partitioned merge writes several files per segment:
+    // reopen must fall back to the shuffle path, results unchanged
+    val before = Searcher.search(spark, h, "w0001", 10).collect().toSeq
+    Merger.compact(spark, dir)
+    val h2 = Searcher.open(spark, dir)
+    assert(!h2.segColocated,
+      "term-range-partitioned merge output must flip to the shuffle path")
+    assert(Searcher.search(spark, h2, "w0001", 10).collect().toSeq == before)
+  }
+
   test("postingMetrics r6: shuffle-free partial fold == per-segment reference fold") {
     import spark.implicits._
     val dir = SparkTestBase.tmpDir("pmref")
