@@ -540,15 +540,23 @@ object IndexBuilder {
         max($"maxTf").cast("long").as("maxTf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      agg.count() // materialize once; both writers below read the cache
+      // base lexicon and gram sidecar write to DIFFERENT dirs from the same
+      // cached aggregate — overlap them (guide §2.6)
+      val gramsF = new java.util.concurrent.FutureTask[Unit](() =>
+        agg.select($"term").as[String]
+          .flatMap(t => grams3(t).iterator.map(g => (g, t)))
+          .toDF("gram", "term")
+          .repartitionByRange(lexPartitions, $"gram")
+          .sortWithinPartitions("gram", "term")
+          .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir)))
+      val gramsT = new Thread(gramsF, "graft-lexgrams-write")
+      gramsT.setDaemon(true)
+      gramsT.start()
       agg.repartitionByRange(lexPartitions, $"term")
         .sortWithinPartitions("term")
         .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
-      agg.select($"term").as[String]
-        .flatMap(t => grams3(t).iterator.map(g => (g, t)))
-        .toDF("gram", "term")
-        .repartitionByRange(lexPartitions, $"gram")
-        .sortWithinPartitions("gram", "term")
-        .write.mode(SaveMode.Overwrite).parquet(lexgramsDir(indexDir))
+      gramsF.get()
     } finally { agg.unpersist(); () }
     // the full rebuild covers every live segment, so any pending delta
     // lexicons are superseded — GC them (a crash before this delete leaves
