@@ -409,11 +409,20 @@ object IndexBuilder {
           }
         }
 
-      timed("postings agg+encode+write") {
-        segRows.write.mode(SaveMode.Overwrite).partitionBy("segId")
-          .parquet(s"$staging/segments")
-      }
-      docstatsF.get() // join the overlapped docstats write (rethrows failures)
+      // run the big postings job; ALWAYS join the overlapped docstats write
+      // before leaving this frame (even on failure — an orphaned writer
+      // thread must not race a retry's staging cleanup), preferring the
+      // main job's failure when both fail
+      var mainFailure: Throwable = null
+      try {
+        timed("postings agg+encode+write") {
+          segRows.write.mode(SaveMode.Overwrite).partitionBy("segId")
+            .parquet(s"$staging/segments")
+        }
+      } catch { case t: Throwable => mainFailure = t }
+      try docstatsF.get()
+      catch { case t: Throwable => if (mainFailure == null) mainFailure = t }
+      if (mainFailure != null) throw mainFailure
 
       // per-segment metrics for the manifest, computed from the written
       // files; the two read-backs scan DIFFERENT staging dirs and run
@@ -430,7 +439,13 @@ object IndexBuilder {
       val docAggT = new Thread(docAggF, "graft-docagg")
       docAggT.setDaemon(true)
       docAggT.start()
-      val segAgg = timed("manifest segAgg")(postingMetrics(spark, s"$staging/segments"))
+      val segAgg =
+        try timed("manifest segAgg")(postingMetrics(spark, s"$staging/segments"))
+        catch {
+          case t: Throwable =>
+            try docAggF.get() catch { case _: Throwable => () } // join, keep primary
+            throw t
+        }
       val docAgg = docAggF.get()
 
       // promote staging -> final, then commit the manifest (the commit point)
@@ -553,9 +568,15 @@ object IndexBuilder {
       val gramsT = new Thread(gramsF, "graft-lexgrams-write")
       gramsT.setDaemon(true)
       gramsT.start()
-      agg.repartitionByRange(lexPartitions, $"term")
-        .sortWithinPartitions("term")
-        .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
+      try {
+        agg.repartitionByRange(lexPartitions, $"term")
+          .sortWithinPartitions("term")
+          .write.mode(SaveMode.Overwrite).parquet(lexiconDir(indexDir))
+      } catch {
+        case t: Throwable =>
+          try gramsF.get() catch { case _: Throwable => () } // join, keep primary
+          throw t
+      }
       gramsF.get()
     } finally { agg.unpersist(); () }
     // the full rebuild covers every live segment, so any pending delta
