@@ -267,19 +267,32 @@ object MultiFieldSearcher {
     }
     if (rows.isEmpty) return spark.emptyDataset[SearchHit]
 
+    // co-locate each segment's PER-FIELD row sets with one column
+    // repartition + task-local hash-map grouping (r6): the union's rows for
+    // one segId arrive from different field indexes' files, so the exchange
+    // is required here — but groupByKey's per-partition SORT is not
     val perSegment = rows.reduce(_ unionByName _)
+      .repartition(col("segId"))
       .as[(String, String, Int, Int, Array[Byte], Int)]
-      .groupByKey(_._6)
-      .flatMapGroups { (segId, it) =>
-        val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-        it.foreach { case (fname, term, df, maxTf, blocks, _) =>
+      .mapPartitions { it =>
+        val bySeg = new java.util.LinkedHashMap[Int,
+          scala.collection.mutable.HashMap[String, Kernel.TermList]]()
+        it.foreach { case (fname, term, df, maxTf, blocks, segId) =>
+          var lists = bySeg.get(segId)
+          if (lists == null) {
+            lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+            bySeg.put(segId, lists)
+          }
           Kernel.mergeList(lists, Kernel.key(fname, term),
             Kernel.TermList(blocks, maxTf, dfs.getOrElse((fname, term), df.toLong)))
         }
-        val deleted = Searcher.tombstoneProbe(delRanges, delDir, segId)
-        Kernel.topKMulti(qLocal, lists.toMap, statsByField, kLocal, pruneLocal,
-            deleted, wLocal)
-          .iterator.map(h => SearchHit(h.docId, h.score))
+        import scala.jdk.CollectionConverters._
+        bySeg.entrySet().iterator().asScala.flatMap { e =>
+          val deleted = Searcher.tombstoneProbe(delRanges, delDir, e.getKey)
+          Kernel.topKMulti(qLocal, e.getValue.toMap, statsByField, kLocal,
+              pruneLocal, deleted, wLocal)
+            .iterator.map(h => SearchHit(h.docId, h.score))
+        }
       }
     perSegment.orderBy($"score".desc, $"docId".asc).limit(k)
   }

@@ -449,35 +449,30 @@ object Searcher {
     val dirLocal = handle.indexDir
     val fLocal = f
     val rows = queryRows(spark, handle, terms, everyFields)
-    if (handle.segColocated)
-      rows.mapPartitions { it =>
-        val bySeg = new java.util.LinkedHashMap[Int,
-          scala.collection.mutable.HashMap[String, Kernel.TermList]]()
-        it.foreach { r =>
-          var lists = bySeg.get(r.segId)
-          if (lists == null) {
-            lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-            bySeg.put(r.segId, lists)
-          }
-          Kernel.mergeList(lists, r.term,
-            Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
+    // FALLBACK co-location is a plain column repartition, not groupByKey:
+    // the task-local hash-map grouping below needs co-located rows, not
+    // SORTED ones, and groupByKey's plan inserts a per-partition sort the
+    // grouping never uses (r6; the exchange itself is the small pruned-row
+    // shuffle the r1-r5 path always paid)
+    val src = if (handle.segColocated) rows
+      else rows.repartition(org.apache.spark.sql.functions.col("segId"))
+    src.mapPartitions { it =>
+      val bySeg = new java.util.LinkedHashMap[Int,
+        scala.collection.mutable.HashMap[String, Kernel.TermList]]()
+      it.foreach { r =>
+        var lists = bySeg.get(r.segId)
+        if (lists == null) {
+          lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
+          bySeg.put(r.segId, lists)
         }
-        import scala.jdk.CollectionConverters._
-        bySeg.entrySet().iterator().asScala.flatMap { e =>
-          fLocal(e.getValue.toMap, tombstoneProbe(delRanges, dirLocal, e.getKey))
-        }
+        Kernel.mergeList(lists, r.term,
+          Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
       }
-    else
-      rows
-        .groupByKey(_.segId)
-        .flatMapGroups { (segId, it) =>
-          val lists = scala.collection.mutable.HashMap.empty[String, Kernel.TermList]
-          it.foreach { r =>
-            Kernel.mergeList(lists, r.term,
-              Kernel.TermList(r.blocks, r.maxTf, dfs.getOrElse(r.term, r.df.toLong)))
-          }
-          fLocal(lists.toMap, tombstoneProbe(delRanges, dirLocal, segId))
-        }
+      import scala.jdk.CollectionConverters._
+      bySeg.entrySet().iterator().asScala.flatMap { e =>
+        fLocal(e.getValue.toMap, tombstoneProbe(delRanges, dirLocal, e.getKey))
+      }
+    }
   }
 
   /** ALL docIds matching a query — the delete-by-query feed: same pruned

@@ -76,6 +76,18 @@ object PlansR06 {
         dump("q_faceted_hits", fsr.hits)
         dump("q_faceted_facets", fsr.facets)
       } finally fsr.close()
+      // multi-field (q_field) — needs the bench's path-field sibling index
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+      val pathIx = new java.io.File(ixDir).getParent + s"/ixpath-c$cpus-n120000"
+      if (new java.io.File(pathIx).isDirectory) {
+        val mfFields = Seq(
+          graft.build.MultiFieldIndex.FieldSpec("content", _.content),
+          graft.build.MultiFieldIndex.FieldSpec("path", _.path))
+        val mh = new graft.search.MultiFieldSearcher.MultiHandle(ixDir, mfFields,
+          Map("content" -> h, "path" -> graft.search.Searcher.open(spark, pathIx)))
+        dump("q_field", graft.search.MultiFieldSearcher.search(spark, mh,
+          "w0003 OR path:f0000000040.scala^2", 10).toDF())
+      }
     }
 
     spark.stop()
