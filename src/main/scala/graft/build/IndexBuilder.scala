@@ -622,22 +622,28 @@ object IndexBuilder {
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     val staging = s"${stagingDir(indexDir)}/lexdelta"
     fs.delete(new Path(staging), true)
-    spark.read.parquet(segmentsDir(indexDir))
+    // delta-sized aggregate persisted across its three consumers (range
+    // sampler, delta write, gram write) — same r6 pattern as writeLexicon;
+    // saves one pruned segments re-scan and one staging re-read per append
+    val agg = spark.read.parquet(segmentsDir(indexDir))
       .filter(col("segId").isin(newSegIds: _*))
       .filter(col("term") >= graft.search.Q.RealTermMin) // D14 pseudo rows excluded
       .groupBy($"term").agg(sum($"df").cast("long").as("df"),
         sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("long").as("maxTf"))
-      .repartitionByRange(lexPartitions, $"term")
-      .sortWithinPartitions("term")
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging)
-      .select($"term").as[String]
-      .flatMap(t => grams3(t).iterator.map(g => (g, t)))
-      .toDF("gram", "term")
-      .repartitionByRange(lexPartitions, $"gram")
-      .sortWithinPartitions("gram", "term")
-      .write.mode(SaveMode.Append).parquet(lexgramsDir(indexDir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      agg.repartitionByRange(lexPartitions, $"term")
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+      // grams BEFORE the delta promotes (crash ordering documented above)
+      agg.select($"term").as[String]
+        .flatMap(t => grams3(t).iterator.map(g => (g, t)))
+        .toDF("gram", "term")
+        .repartitionByRange(lexPartitions, $"gram")
+        .sortWithinPartitions("gram", "term")
+        .write.mode(SaveMode.Append).parquet(lexgramsDir(indexDir))
+    } finally { agg.unpersist(); () }
     // segIds are never reused, so the delta name is collision-free
     promoteDir(fs, staging, s"${lexdeltasDir(indexDir)}/d${newSegIds.min}")
   }
@@ -697,14 +703,20 @@ object IndexBuilder {
     val lexPartitions = math.max(1, spark.sessionState.conf.numShufflePartitions / 4)
     val staging = s"${stagingDir(indexDir)}/lexfold"
     fs.delete(new Path(staging), true)
-    live.map(spark.read.parquet(_))
+    // vocab-sized folded aggregate persisted across the range sampler and
+    // the write (r6; the fold runs at compaction cadence, but the base is
+    // vocab-sized, so one saved union+re-aggregate pass is real money)
+    val foldAgg = live.map(spark.read.parquet(_))
       .foldLeft(spark.read.parquet(lexiconDir(indexDir)))(_ unionByName _)
       .groupBy($"term").agg(sum($"df").cast("long").as("df"),
         sum($"cf").cast("long").as("cf"),
         max($"maxTf").cast("long").as("maxTf"))
-      .repartitionByRange(lexPartitions, $"term")
-      .sortWithinPartitions("term")
-      .write.mode(SaveMode.Overwrite).parquet(staging)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      foldAgg.repartitionByRange(lexPartitions, $"term")
+        .sortWithinPartitions("term")
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    } finally { foldAgg.unpersist(); () }
     // marker = EVERY delta name present (live + stale): all are covered by
     // the folded base the moment it promotes
     val marker = s"""{"consumed":[${allNames.sorted.map(n => s""""$n"""").mkString(",")}]}"""
