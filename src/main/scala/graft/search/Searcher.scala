@@ -131,16 +131,26 @@ object Searcher {
       segmentsColocated(fs, indexDir, liveSegs))
   }
 
+  /** Upper bound on live segments for which open() will verify the
+    * colocated layout: the check costs one listing + one footer read per
+    * segment, and an index past this size is throughput-shaped — its
+    * queries fan out over thousands of tasks where the exchange path's one
+    * small shuffle is the right plan anyway, so paying O(segments) open-time
+    * I/O to maybe skip it is a bad trade. The latency-sensitive serving
+    * shape (tens to hundreds of segments) stays under the cap. */
+  private val ColocCheckMaxSegments = 1024
+
   /** r6: verify the one-file / one-row-group-per-live-segment layout that
     * the exchange-free kernel path requires (a parquet row group is consumed
     * by exactly one scan task, so single-row-group segments can never split
     * across tasks). One listing + one footer read per segment, paid once at
-    * open. Fresh builds and streaming appends write exactly this layout;
-    * term-range-partitioned merge output (several files per segId) and
-    * multi-row-group segments return false -> shuffle fallback. */
+    * open and capped by ColocCheckMaxSegments. Fresh builds and streaming
+    * appends write exactly this layout; term-range-partitioned merge output
+    * (several files per segId) and multi-row-group segments return false ->
+    * shuffle fallback. */
   private def segmentsColocated(fs: FileSystem, indexDir: String,
                                 liveSegs: Seq[Int]): Boolean = {
-    if (liveSegs.isEmpty) return false
+    if (liveSegs.isEmpty || liveSegs.size > ColocCheckMaxSegments) return false
     val conf = fs.getConf
     liveSegs.forall { segId =>
       val dir = new org.apache.hadoop.fs.Path(
